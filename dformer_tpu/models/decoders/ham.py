@@ -1,0 +1,145 @@
+"""LightHamHead — the default decoder (cfg.decoder='ham').
+
+Re-derivation of the reference head (models/decoders/ham_head.py:11-240):
+concat stages 2-4 resized to 1/8 -> 1x1 squeeze ConvModule -> Hamburger
+(1x1 in -> NMF2D multiplicative updates -> 1x1+BN out, residual relu) ->
+1x1 align ConvModule -> dropout + 1x1 classifier.
+
+TPU-native notes:
+  * NMF2D's iterative multiplicative updates are a chain of batched matmuls;
+    they are unrolled (6 train / 7 eval iterations, static) so XLA fuses the
+    elementwise update math into the matmuls. All NMF math runs in fp32 —
+    the multiplicative updates are ratio-based and precision-sensitive.
+  * The reference draws fresh uniform bases every forward
+    (ham_head.py:109-117, torch.rand). Here bases come from a jax PRNG key
+    via the 'nmf' rng stream; pass deterministic=True to use a fixed
+    seed-0 basis for reproducible evaluation.
+  * Data layout is NHWC; the NMF operates on [B, N, D] with N=H*W spatial
+    positions and D=channels (equivalent to the reference's spatial mode
+    which uses [B, D, N] in NCHW).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from dformer_tpu.models.nn import Conv, ConvBNReLU, Dropout
+from dformer_tpu.ops.resize import resize_bilinear
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
+          train: bool = False):
+    """Non-negative matrix factorization refinement.
+
+    x: [B, N, D] non-negative features; bases: [B, D, R] initial bases.
+    Returns the rank-R reconstruction [B, N, D].
+
+    Matches _MatrixDecomposition2DBase.local_inference + compute_coef
+    (ham_head.py:46-57,120-145) with inv_t=1: an initial softmax coef, then
+    `steps` multiplicative updates of (coef, bases), then one final coef
+    update, and reconstruction bases @ coef^T.
+    """
+    x = x.astype(jnp.float32)
+    bases = bases.astype(jnp.float32)
+    eps = 1e-6
+
+    def update_coef(coef):
+        numer = jnp.einsum("bnd,bdr->bnr", x, bases, precision=_P)
+        denom = jnp.einsum("bnr,brs->bns", coef,
+                           jnp.einsum("bdr,bds->brs", bases, bases,
+                                      precision=_P), precision=_P)
+        return coef * numer / (denom + eps)
+
+    coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", x, bases, precision=_P),
+                          axis=-1)
+    steps = train_steps if train else eval_steps
+    for _ in range(steps):
+        coef = update_coef(coef)
+        numer = jnp.einsum("bnd,bnr->bdr", x, coef, precision=_P)
+        denom = jnp.einsum("bdr,brs->bds", bases,
+                           jnp.einsum("bnr,bns->brs", coef, coef,
+                                      precision=_P), precision=_P)
+        bases = bases * numer / (denom + eps)
+    coef = update_coef(coef)
+    return jnp.einsum("bdr,bnr->bnd", bases, coef, precision=_P)
+
+
+class Hamburger(fnn.Module):
+    """ham_in (1x1, no norm/act) -> relu -> NMF2D -> ham_out (1x1+BN) ->
+    relu(x + out) (reference ham_head.py:148-180)."""
+
+    ham_channels: int = 512
+    md_r: int = 64
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.1
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False, deterministic_bases: bool = True):
+        B, H, W, D = x.shape
+        enjoy = Conv(self.ham_channels, (1, 1), (1, 1), (0, 0),
+                     dtype=self.dtype, name="ham_in")(x)
+        enjoy = jax.nn.relu(enjoy)
+
+        if deterministic_bases:
+            key = jax.random.PRNGKey(0)
+        else:
+            key = self.make_rng("nmf")
+        bases = jax.random.uniform(key, (B, self.ham_channels, self.md_r),
+                                   jnp.float32)
+        bases = bases / jnp.linalg.norm(bases, axis=1, keepdims=True)
+
+        flat = enjoy.reshape(B, H * W, self.ham_channels)
+        flat = nmf2d(flat, bases, train=train)
+        enjoy = flat.reshape(B, H, W, self.ham_channels).astype(x.dtype)
+
+        enjoy = ConvBNReLU(self.ham_channels, 1, with_bn=True, with_relu=False,
+                           bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
+                           axis_name=self.bn_axis_name, dtype=self.dtype,
+                           name="ham_out")(enjoy, train)
+        return jax.nn.relu(x + enjoy)
+
+
+class LightHamHead(fnn.Module):
+    """HamNet light head over backbone stages 2-4 (reference
+    ham_head.py:184-240; wiring from models/builder.py:131-137)."""
+
+    in_index: Sequence[int] = (1, 2, 3)
+    channels: int = 512          # decoder_embed_dim
+    ham_channels: int = 512
+    num_classes: int = 40
+    dropout_ratio: float = 0.1
+    align_corners: bool = False
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.1
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, inputs, train: bool = False,
+                 deterministic_bases: bool = True):
+        feats = [inputs[i] for i in self.in_index]
+        size = feats[0].shape[1:3]
+        feats = [resize_bilinear(f, size, self.align_corners) for f in feats]
+        x = jnp.concatenate(feats, axis=-1)
+        x = ConvBNReLU(self.ham_channels, 1, bn_eps=self.bn_eps,
+                       bn_momentum=self.bn_momentum,
+                       axis_name=self.bn_axis_name, dtype=self.dtype,
+                       name="squeeze")(x, train)
+        x = Hamburger(self.ham_channels, bn_eps=self.bn_eps,
+                      bn_momentum=self.bn_momentum,
+                      bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                      name="hamburger")(x, train, deterministic_bases)
+        x = ConvBNReLU(self.channels, 1, bn_eps=self.bn_eps,
+                       bn_momentum=self.bn_momentum,
+                       axis_name=self.bn_axis_name, dtype=self.dtype,
+                       name="align")(x, train)
+        x = Dropout(self.dropout_ratio, name="dropout")(x, deterministic=not train)
+        x = Conv(self.num_classes, (1, 1), (1, 1), (0, 0), dtype=self.dtype,
+                 name="conv_seg")(x)
+        return x

@@ -1,0 +1,291 @@
+"""DFormer dual-branch RGB-D encoder, TPU-native.
+
+Re-derivation of the reference encoder's math (reference:
+models/encoders/DFormer.py:48-305) as NHWC Flax modules. Differences from the
+reference are purely representational:
+
+  * NHWC everywhere — the reference permutes NCHW<->NHWC at every stage
+    boundary (DFormer.py:294-303); here convs run natively in NHWC so the
+    permutes vanish.
+  * The GAA pooled attention and bilinear upsample are expressed with
+    matmul-form pooling/resize (ops/pool.py, ops/resize.py) -> MXU.
+  * Compute dtype is configurable (bf16 for training); LayerNorm, BatchNorm,
+    softmax and the attention logits stay fp32.
+
+Per-block math (Attention, DFormer.py:102-145):
+  x:[B,H,W,C] rgb stream, x_e:[B,H,W,C/2] depth stream, both pre-LayerNormed.
+  branch 1 (local enhancement):  q(x) * a(dwconv7x7(gelu(l(x))))
+  branch 2 (depth gating):       q_cut(x) * e_back(dwconv7x7(e_fore(x_e)))
+  branch 3 (GAA, window!=0):     49 query tokens from a 7x7 adaptive-pool of
+      concat[x,x_e]; k,v from full-res gelu(l(x)) via the kv linear; softmax
+      cross-attention; result reshaped to 7x7 and bilinearly upsampled to HxW.
+  concat(branches) -> proj (rgb out, C) and proj_e (depth out, C/2).
+The last block of stage 4 drops the depth stream (drop_depth,
+DFormer.py:243), returning the depth-gating tensor unprojected.
+"""
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from dformer_tpu.models.nn import (BatchNorm, Conv, DropPath, LayerNorm,
+                                   Linear, gelu)
+from dformer_tpu.ops.pool import adaptive_avg_pool2d
+from dformer_tpu.ops.resize import resize_bilinear
+
+
+class MLPBlock(fnn.Module):
+    """LN -> fc1 -> depthwise-3x3 positional branch -> GELU -> fc2
+    (reference DFormer.py:48-67)."""
+
+    dim: int
+    mlp_ratio: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x):
+        hidden = self.dim * self.mlp_ratio
+        x = LayerNorm(name="norm")(x)
+        x = Linear(hidden, dtype=self.dtype, name="fc1")(x)
+        x = Conv(hidden, (3, 3), (1, 1), (1, 1), groups=hidden,
+                 dtype=self.dtype, name="pos")(x) + x
+        x = gelu(x)
+        x = Linear(self.dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(fnn.Module):
+    """DFormer block core: local enhancement + depth gating + GAA
+    (reference DFormer.py:70-145)."""
+
+    dim: int
+    num_head: int = 8
+    window: int = 7
+    drop_depth: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, x_e):
+        B, H, W, C = x.shape
+        nh = self.num_head
+        hd = C // nh // 2
+
+        x = LayerNorm(name="norm")(x)
+        x_e = LayerNorm(name="norm_e")(x_e)
+
+        if self.window != 0:
+            short_cut = jnp.concatenate([x, x_e], axis=-1)
+
+        q = Linear(C, dtype=self.dtype, name="q")(x)
+        cutted_x = Linear(C // 2, dtype=self.dtype, name="q_cut")(x)
+        t = gelu(Linear(C, dtype=self.dtype, name="l")(x))
+        a = Linear(C, dtype=self.dtype, name="a")(
+            Conv(C, (7, 7), (1, 1), (3, 3), groups=C, dtype=self.dtype,
+                 name="conv")(t))
+
+        if self.window != 0:
+            kv = Linear(C, dtype=self.dtype, name="kv")(t)
+            kv = kv.reshape(B, H * W, 2, nh, hd)
+            k = kv[:, :, 0].transpose(0, 2, 1, 3)  # [B, nh, HW, hd]
+            v = kv[:, :, 1].transpose(0, 2, 1, 3)
+            pooled = adaptive_avg_pool2d(short_cut, (self.window, self.window))
+            m = Linear(C // 2, dtype=self.dtype, name="short_cut_linear")(pooled)
+            m = m.reshape(B, self.window * self.window, nh, hd).transpose(0, 2, 1, 3)
+            # 49 query tokens attend over the full-res keys. Logits in fp32.
+            logits = jnp.einsum(
+                "bnqd,bnkd->bnqk", (m * hd ** -0.5).astype(jnp.float32),
+                k.astype(jnp.float32))
+            attn = jax.nn.softmax(logits, axis=-1)
+            gaa = jnp.einsum("bnqk,bnkd->bnqd", attn.astype(v.dtype), v)
+            # [B, nh, 49, hd] -> [B, 7, 7, nh*hd]; channel order (head, hd)
+            # matches the reference's permute+reshape (DFormer.py:130).
+            gaa = gaa.transpose(0, 2, 1, 3).reshape(
+                B, self.window, self.window, C // 2)
+            gaa = resize_bilinear(gaa, (H, W), align_corners=False)
+
+        x_e = Linear(C // 2, dtype=self.dtype, name="e_back")(
+            Conv(C // 2, (7, 7), (1, 1), (3, 3), groups=C // 2,
+                 dtype=self.dtype, name="e_conv")(
+                Linear(C // 2, dtype=self.dtype, name="e_fore")(x_e)))
+        cutted_x = cutted_x * x_e
+        x = q * a
+
+        if self.window != 0:
+            x = jnp.concatenate([x, gaa, cutted_x], axis=-1)
+        else:
+            x = jnp.concatenate([x, cutted_x], axis=-1)
+        if not self.drop_depth:
+            x_e = Linear(C // 2, dtype=self.dtype, name="proj_e")(x)
+        x = Linear(C, dtype=self.dtype, name="proj")(x)
+        return x, x_e
+
+
+def _layer_scale_init(value):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+    return init
+
+
+class Block(fnn.Module):
+    """Attention + MLP with LayerScale (1e-6) and per-sample DropPath
+    (reference DFormer.py:147-181)."""
+
+    dim: int
+    num_head: int
+    mlp_ratio: int = 4
+    window: int = 7
+    drop_prob: float = 0.0
+    drop_depth: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, x_e, deterministic: bool = True):
+        ls1 = self.param("layer_scale_1", _layer_scale_init(1e-6), (self.dim,))
+        ls2 = self.param("layer_scale_2", _layer_scale_init(1e-6), (self.dim,))
+        drop = DropPath(self.drop_prob, name="drop_path")
+
+        res_x, res_e = x, x_e
+        x, x_e = Attention(self.dim, self.num_head, self.window,
+                           self.drop_depth, dtype=self.dtype, name="attn")(x, x_e)
+        x = res_x + drop(ls1.astype(x.dtype) * x, deterministic)
+        x = x + drop(ls2.astype(x.dtype) *
+                     MLPBlock(self.dim, self.mlp_ratio, dtype=self.dtype,
+                              name="mlp")(x), deterministic)
+        if not self.drop_depth:
+            ls1e = self.param("layer_scale_1_e", _layer_scale_init(1e-6),
+                              (self.dim // 2,))
+            ls2e = self.param("layer_scale_2_e", _layer_scale_init(1e-6),
+                              (self.dim // 2,))
+            x_e = res_e + drop(ls1e.astype(x_e.dtype) * x_e, deterministic)
+            x_e = x_e + drop(ls2e.astype(x_e.dtype) *
+                             MLPBlock(self.dim // 2, self.mlp_ratio,
+                                      dtype=self.dtype, name="mlp_e2")(x_e),
+                             deterministic)
+        return x, x_e
+
+
+class Stem(fnn.Module):
+    """Two stride-2 3x3 conv+BN (GELU between), total stride 4
+    (reference DFormer.py:194-211)."""
+
+    mid: int
+    out: int
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.mid, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
+                 name="conv1")(x)
+        x = BatchNorm(axis_name=self.bn_axis_name, name="bn1")(
+            x, use_running_average=not train)
+        x = gelu(x)
+        x = Conv(self.out, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
+                 name="conv2")(x)
+        x = BatchNorm(axis_name=self.bn_axis_name, name="bn2")(
+            x, use_running_average=not train)
+        return x
+
+
+class Downsample(fnn.Module):
+    """BN then stride-2 3x3 conv (reference DFormer.py:216-228)."""
+
+    out: int
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(axis_name=self.bn_axis_name, name="norm")(
+            x, use_running_average=not train)
+        x = Conv(self.out, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
+                 name="conv")(x)
+        return x
+
+
+class DFormer(fnn.Module):
+    """Four-stage dual-branch backbone; returns 4 NHWC RGB feature maps at
+    strides 4/8/16/32 (reference DFormer.py:184-305)."""
+
+    depths: Sequence[int] = (2, 2, 8, 2)
+    dims: Sequence[int] = (32, 64, 128, 256)
+    windows: Sequence[int] = (7, 7, 7, 7)
+    mlp_ratios: Sequence[int] = (8, 8, 4, 4)
+    num_heads: Sequence[int] = (2, 4, 10, 16)
+    last_block: Sequence[int] = (50, 50, 50, 50)
+    drop_path_rate: float = 0.1
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, x_e, train: bool = False):
+        """x: [B,H,W,3] rgb; x_e: [B,H,W,>=1] modality (first channel used,
+        matching the fork quirk at DFormer.py:286)."""
+        x_e = x_e[..., :1]
+        dp_rates = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        deterministic = not train
+
+        outs = []
+        cur = 0
+        for i in range(4):
+            if i == 0:
+                x = Stem(self.dims[0] // 2, self.dims[0],
+                         bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                         name="stem")(x, train)
+                x_e = Stem(self.dims[0] // 4, self.dims[0] // 2,
+                           bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                           name="stem_e")(x_e, train)
+            else:
+                x = Downsample(self.dims[i], bn_axis_name=self.bn_axis_name,
+                               dtype=self.dtype,
+                               name=f"downsample_{i}")(x, train)
+                x_e = Downsample(self.dims[i] // 2,
+                                 bn_axis_name=self.bn_axis_name,
+                                 dtype=self.dtype,
+                                 name=f"downsample_e_{i}")(x_e, train)
+            for j in range(self.depths[i]):
+                # window collapses to 0 when block_index > last_block_index
+                # (reference DFormer.py:153-154, block_index = depths[i]-j).
+                window = self.windows[i]
+                if self.depths[i] - j > self.last_block[i]:
+                    window = 0
+                drop_depth = (i == 3) and (j == self.depths[i] - 1)
+                x, x_e = Block(self.dims[i], self.num_heads[i],
+                               self.mlp_ratios[i], window,
+                               float(dp_rates[cur + j]), drop_depth,
+                               dtype=self.dtype,
+                               name=f"stage_{i}_block_{j}")(x, x_e,
+                                                            deterministic)
+            outs.append(x)
+            cur += self.depths[i]
+        return outs
+
+
+VARIANTS = {
+    # name: (dims, depths, num_heads, windows, mlp_ratios)
+    # (reference DFormer.py:460-497)
+    "DFormer-Tiny": dict(dims=(32, 64, 128, 256), depths=(3, 3, 5, 2),
+                         num_heads=(1, 2, 4, 8), windows=(0, 7, 7, 7),
+                         mlp_ratios=(8, 8, 4, 4)),
+    "DFormer-Small": dict(dims=(64, 128, 256, 512), depths=(2, 2, 4, 2),
+                          num_heads=(1, 2, 4, 8), windows=(0, 7, 7, 7),
+                          mlp_ratios=(8, 8, 4, 4)),
+    "DFormer-Base": dict(dims=(64, 128, 256, 512), depths=(3, 3, 12, 2),
+                         num_heads=(1, 2, 4, 8), windows=(0, 7, 7, 7),
+                         mlp_ratios=(8, 8, 4, 4)),
+    "DFormer-Large": dict(dims=(96, 192, 288, 576), depths=(3, 3, 12, 2),
+                          num_heads=(1, 2, 4, 8), windows=(0, 7, 7, 7),
+                          mlp_ratios=(8, 8, 4, 4)),
+}
+
+
+def make_encoder(name: str, drop_path_rate: float = 0.1,
+                 bn_axis_name: Optional[str] = None,
+                 dtype: Optional[jnp.dtype] = None) -> DFormer:
+    spec = VARIANTS[name]
+    return DFormer(drop_path_rate=drop_path_rate, bn_axis_name=bn_axis_name,
+                   dtype=dtype, **spec)
