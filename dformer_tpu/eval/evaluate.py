@@ -1,0 +1,189 @@
+"""Evaluation library: single-scale, multi-scale+flip, and sliding-window
+inference with confusion-matrix metrics.
+
+Re-expresses the reference evaluation semantics (utils/val_mm.py):
+  * evaluate:      one forward per batch, softmax, hist update (val_mm.py:102-207)
+  * evaluate_msf:  per scale ceil-to-/32 resize (align_corners=True!), forward,
+                   resize logits back (align_corners=True), softmax-accumulate,
+                   plus horizontal flip (val_mm.py:324-470)
+  * slide:         overlapping crop grid at stride 2/3*crop, averaged by
+                   visit count (val_mm.py:257-321)
+
+TPU-first design choices:
+  * The crop grid is static given the image shape, so all windows are gathered
+    into the batch dimension and run as ONE forward — the reference's nested
+    python window loop becomes a single batched XLA program.
+  * Each (scale, flip) pair is one compiled shape; 5 scales x flip = <=10
+    executables, reused across the whole val set.
+  * Per-batch confusion hists accumulate on device; under a mesh they are
+    psum-reduced instead of pickle-gathered (val_mm.py:201-207).
+"""
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dformer_tpu.ops.metrics import Metrics, confusion_matrix
+from dformer_tpu.ops.resize import resize_bilinear
+
+
+def ceil32(v: int) -> int:
+    return int(-(-v // 32)) * 32
+
+
+def slide_window_grid(h_img: int, w_img: int, crop, stride_rate: float):
+    """Static list of (y1, x1) window origins (val_mm.py:295-306 semantics)."""
+    h_crop, w_crop = crop
+    h_stride = int(stride_rate * h_crop)
+    w_stride = int(stride_rate * w_crop)
+    h_grids = max(h_img - h_crop + h_stride - 1, 0) // h_stride + 1
+    w_grids = max(w_img - w_crop + w_stride - 1, 0) // w_stride + 1
+    origins = []
+    for hi in range(h_grids):
+        for wi in range(w_grids):
+            y2 = min(hi * h_stride + h_crop, h_img)
+            x2 = min(wi * w_stride + w_crop, w_img)
+            origins.append((max(y2 - h_crop, 0), max(x2 - w_crop, 0)))
+    return origins
+
+
+class Evaluator:
+    """Drives a (model, variables) pair over an iterable of numpy batches.
+
+    forward(rgb, modal) must return [B, H, W, num_classes] logits at input
+    resolution (EncoderDecoder.__call__)."""
+
+    def __init__(self, model, variables, cfg, sliding: bool = False):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.sliding = sliding
+        self.num_classes = cfg.num_classes
+        self.background = cfg.background
+        self._jitted = {}
+
+    # -- compiled building blocks ------------------------------------------
+
+    def _forward(self, rgb, modal):
+        return self.model.apply(self.variables, rgb, modal, train=False,
+                                deterministic_bases=True)
+
+    def _model_logits(self, rgb, modal):
+        """Whole-image or sliding-window logits at input resolution."""
+        if not self.sliding:
+            return self._forward(rgb, modal)
+        return self._slide(rgb, modal)
+
+    def _slide(self, rgb, modal):
+        """Batched sliding-window inference (val_mm.py:257-321, TPU form)."""
+        crop = tuple(self.cfg.eval_crop_size)
+        B, H, W, _ = rgb.shape
+        if crop[0] > H or crop[1] > W:
+            rgb = resize_bilinear(rgb, crop, align_corners=True)
+            modal = resize_bilinear(modal, crop, align_corners=True)
+            B, H, W = rgb.shape[0], crop[0], crop[1]
+        origins = slide_window_grid(H, W, crop, self.cfg.eval_stride_rate)
+        nw = len(origins)
+        if nw == 1:
+            return self._forward(rgb, modal)
+        # gather all windows into the batch dim -> one forward
+        r_wins = jnp.concatenate(
+            [jax.lax.dynamic_slice(rgb, (0, y, x, 0),
+                                   (B, crop[0], crop[1], rgb.shape[3]))
+             for (y, x) in origins], axis=0)
+        m_wins = jnp.concatenate(
+            [jax.lax.dynamic_slice(modal, (0, y, x, 0),
+                                   (B, crop[0], crop[1], modal.shape[3]))
+             for (y, x) in origins], axis=0)
+        logits = self._forward(r_wins, m_wins)
+        preds = jnp.zeros((B, H, W, self.num_classes), jnp.float32)
+        count = np.zeros((1, H, W, 1), np.float32)
+        for i, (y, x) in enumerate(origins):
+            win = jax.lax.dynamic_slice_in_dim(logits, i * B, B, axis=0)
+            preds = jax.lax.dynamic_update_slice(
+                preds,
+                jax.lax.dynamic_slice(preds, (0, y, x, 0),
+                                      (B, crop[0], crop[1], self.num_classes))
+                + win.astype(jnp.float32),
+                (0, y, x, 0))
+            count[:, y:y + crop[0], x:x + crop[1]] += 1.0
+        return preds / jnp.asarray(count)
+
+    def _get_jit(self, kind, **static):
+        key = (kind, tuple(sorted(static.items())))
+        if key in self._jitted:
+            return self._jitted[key]
+
+        if kind == "single":
+            def fn(rgb, modal, gt):
+                logits = self._model_logits(rgb, modal)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                hist = confusion_matrix(jnp.argmax(probs, -1), gt,
+                                        self.num_classes, self.background)
+                return probs, hist
+        elif kind == "scale":
+            new_hw = static["new_hw"]
+            flip = static["flip"]
+
+            def fn(rgb, modal, out_hw=static["out_hw"]):
+                r = resize_bilinear(rgb, new_hw, align_corners=True)
+                m = resize_bilinear(modal, new_hw, align_corners=True)
+                if flip:
+                    r, m = r[:, :, ::-1], m[:, :, ::-1]
+                logits = self._model_logits(r, m)
+                if flip:
+                    logits = logits[:, :, ::-1]
+                logits = resize_bilinear(logits, out_hw, align_corners=True)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        elif kind == "hist":
+            def fn(probs, gt):
+                return confusion_matrix(jnp.argmax(probs, -1), gt,
+                                        self.num_classes, self.background)
+        else:
+            raise KeyError(kind)
+        jitted = jax.jit(fn)
+        self._jitted[key] = jitted
+        return jitted
+
+    # -- public API ---------------------------------------------------------
+
+    def evaluate(self, batches, save_hook: Optional[Callable] = None) -> Metrics:
+        """Single-scale eval (reference evaluate, val_mm.py:102-207)."""
+        metrics = Metrics(self.num_classes, self.background)
+        step = self._get_jit("single")
+        for batch in batches:
+            probs, hist = step(jnp.asarray(batch["rgb"]),
+                               jnp.asarray(batch["modal_x"]),
+                               jnp.asarray(batch["gt"]))
+            metrics.update_hist(np.asarray(hist))
+            if save_hook is not None:
+                save_hook(np.asarray(jnp.argmax(probs, -1)), batch)
+        return metrics
+
+    def evaluate_msf(self, batches, scales: Sequence[float], flip: bool,
+                     save_hook: Optional[Callable] = None) -> Metrics:
+        """Multi-scale + flip eval (reference evaluate_msf, val_mm.py:324-470)."""
+        metrics = Metrics(self.num_classes, self.background)
+        hist_fn = self._get_jit("hist")
+        for batch in batches:
+            rgb = jnp.asarray(batch["rgb"])
+            modal = jnp.asarray(batch["modal_x"])
+            gt = jnp.asarray(batch["gt"])
+            H, W = gt.shape[1:3] if gt.ndim == 3 else gt.shape[:2]
+            acc = jnp.zeros(rgb.shape[:1] + (H, W, self.num_classes),
+                            jnp.float32)
+            for scale in scales:
+                new_hw = (ceil32(int(scale * H)), ceil32(int(scale * W)))
+                acc = acc + self._get_jit("scale", new_hw=new_hw, flip=False,
+                                          out_hw=(H, W))(rgb, modal)
+                if flip:
+                    acc = acc + self._get_jit("scale", new_hw=new_hw,
+                                              flip=True,
+                                              out_hw=(H, W))(rgb, modal)
+            metrics.update_hist(np.asarray(hist_fn(acc, gt)))
+            if save_hook is not None:
+                save_hook(np.asarray(jnp.argmax(acc, -1)), batch)
+        return metrics

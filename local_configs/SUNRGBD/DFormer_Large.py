@@ -1,0 +1,9 @@
+from local_configs._base_.datasets.SUNRGBD import dataset_config
+from local_configs._base_.model_section import apply_model_section
+
+C = apply_model_section(
+    dataset_config(), backbone="DFormer-Large",
+    pretrained_name="DFormer_Large.pth.tar", lr=8e-5, batch_size=16,
+    nepochs=300, drop_path_rate=0.2, checkpoint_start_epoch=200,
+    eval_scale_array=(0.5, 0.75, 1, 1.25, 1.5))
+config = C
