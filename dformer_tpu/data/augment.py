@@ -1,0 +1,155 @@
+"""Device-side training augmentation.
+
+The reference augments on CPU workers with OpenCV (utils/dataloader/
+dataloader.py:40-76: mirror -> random scale from train_scale_array ->
+normalize -> random crop+pad to (H,W), pad 0 for images / 255 for labels).
+Per the BASELINE north star, this moves on-device: decode feeds raw uint8
+arrays to HBM and ONE jitted gather performs scale+crop+flip+normalize per
+batch with static output shapes.
+
+Key trick: "random-scale then random-crop-pad" is a single affine resample —
+output pixel (i, j) of sample b reads source coordinate
+    src = (crop_origin + idx + 0.5) / scale - 0.5          (cv2 INTER_LINEAR)
+so no intermediate variable-size tensor ever exists (dynamic shapes would
+defeat jit). Labels use the same grid with cv2's INTER_NEAREST floor rule.
+Out-of-canvas coordinates produce the pad value, reproducing
+random_crop_pad_to_shape (utils/transforms.py:27-42,61-75).
+"""
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sample_coords(out_size: int, in_size, scale, origin):
+    """Source coords for each output index given scale and crop origin.
+
+    origin is in *scaled-image* space; scaled size = floor(in*scale)."""
+    idx = jnp.arange(out_size, dtype=jnp.float32)
+    # cv2.resize INTER_LINEAR half-pixel rule, inverted from dst->src:
+    pos = idx + origin
+    src = (pos + 0.5) / scale - 0.5
+    return src
+
+
+def _bilinear_gather_1d(img, src, axis, pad_value):
+    """Sample img along `axis` at fractional positions src, with constant pad."""
+    n = img.shape[axis]
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, n - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, n - 1)
+    a = jnp.take(img, lo_i, axis=axis)
+    b = jnp.take(img, hi_i, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = src.shape[0]
+    frac = frac.reshape(shape)
+    out = a * (1.0 - frac) + b * frac
+    return out
+
+
+def _apply_pad_mask(out, src_h, src_w, h_in, w_in, pad_value):
+    """Constant-pad where the sample grid leaves the source canvas."""
+    # valid iff the *center* rounds inside [~-0.5, n-0.5) like cv2 border
+    valid_h = (src_h > -1.0) & (src_h < h_in)
+    valid_w = (src_w > -1.0) & (src_w < w_in)
+    mask = valid_h[:, None] & valid_w[None, :]
+    mask = mask.reshape((1,) * (out.ndim - 3) + mask.shape + (1,))
+    return jnp.where(mask, out, pad_value)
+
+
+def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
+                      nearest: bool = False):
+    """One sample: affine scale+crop resample of [H,W,C] (or [H,W]) to out_hw."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h_in, w_in = img.shape[0], img.shape[1]
+    src_h = _sample_coords(out_hw[0], h_in, scale, origin_hw[0])
+    src_w = _sample_coords(out_hw[1], w_in, scale, origin_hw[1])
+    if nearest:
+        # cv2 INTER_NEAREST: src = floor(dst * 1/scale); with crop offset.
+        ih = jnp.clip(jnp.floor((jnp.arange(out_hw[0], dtype=jnp.float32)
+                                 + origin_hw[0]) / scale).astype(jnp.int32),
+                      0, h_in - 1)
+        iw = jnp.clip(jnp.floor((jnp.arange(out_hw[1], dtype=jnp.float32)
+                                 + origin_hw[1]) / scale).astype(jnp.int32),
+                      0, w_in - 1)
+        out = jnp.take(jnp.take(img, ih, axis=0), iw, axis=1)
+        # pad region: output index beyond the scaled image extent
+        sh = jnp.floor(h_in * scale)
+        sw = jnp.floor(w_in * scale)
+        vh = (jnp.arange(out_hw[0], dtype=jnp.float32) + origin_hw[0]) < sh
+        vw = (jnp.arange(out_hw[1], dtype=jnp.float32) + origin_hw[1]) < sw
+        mask = (vh[:, None] & vw[None, :])[..., None]
+        out = jnp.where(mask, out, pad_value)
+    else:
+        imgf = img.astype(jnp.float32)
+        out = _bilinear_gather_1d(imgf, src_h, axis=0, pad_value=pad_value)
+        out = _bilinear_gather_1d(out, src_w, axis=1, pad_value=pad_value)
+        out = _apply_pad_mask(out, src_h, src_w, h_in, w_in, pad_value)
+    return out[..., 0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=("out_hw", "scales"))
+def device_train_augment(rgb, gt, modal_x, key, out_hw: Tuple[int, int],
+                         scales: Tuple[float, ...],
+                         rgb_mean, rgb_std, x_mean, x_std):
+    """Batched train augmentation, all on device.
+
+    rgb: [B,H,W,3] uint8; gt: [B,H,W] int32; modal_x: [B,H,W,Cx] (uint8 or
+    float); returns normalized float32 (rgb, gt, modal_x) at out_hw.
+    Matches TrainPre (dataloader.py:47-76): mirror(p=.5) -> random scale from
+    `scales` -> /255-normalize -> random crop+pad(0 / 255-for-gt).
+    """
+    B, H, W = rgb.shape[0], rgb.shape[1], rgb.shape[2]
+    k_flip, k_scale, k_crop = jax.random.split(key, 3)
+    flips = jax.random.bernoulli(k_flip, 0.5, (B,))
+    scale_idx = jax.random.randint(k_scale, (B,), 0, len(scales))
+    scale = jnp.asarray(scales, jnp.float32)[scale_idx]
+
+    # crop origin in scaled space (generate_random_crop_pos semantics):
+    # uniform in [0, max(scaled - crop, 0)]; when scaled < crop, the
+    # reference center-pads — origin = -(pad_top).
+    u = jax.random.uniform(k_crop, (B, 2))
+    sh, sw = jnp.floor(H * scale), jnp.floor(W * scale)
+
+    def origin(scaled, crop, uu):
+        excess = scaled - crop
+        rand_o = jnp.floor(uu * jnp.maximum(excess + 1.0, 1.0))
+        pad_o = jnp.ceil(excess / 2.0)  # negative when padding
+        return jnp.where(excess > 0, rand_o, pad_o)
+
+    oh = origin(sh, out_hw[0], u[:, 0])
+    ow = origin(sw, out_hw[1], u[:, 1])
+
+    # Normalize BEFORE the resample so the constant pad is 0 in normalized
+    # space, exactly like TrainPre (normalize at dataloader.py:54-60, then
+    # crop+pad with 0). Bilinear resampling commutes with the affine
+    # normalize, so fusing scale+crop after it is exact.
+    rgb_n = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
+    x_n = (modal_x.astype(jnp.float32) / 255.0 - x_mean) / x_std
+
+    def one(rgb_i, gt_i, x_i, fl, sc, o_h, o_w):
+        rgb_i = jnp.where(fl, rgb_i[:, ::-1], rgb_i)
+        gt_i = jnp.where(fl, gt_i[:, ::-1], gt_i)
+        x_i = jnp.where(fl, x_i[:, ::-1], x_i)
+        r = scale_crop_sample(rgb_i, sc, (o_h, o_w), out_hw, 0.0)
+        g = scale_crop_sample(gt_i, sc, (o_h, o_w), out_hw, 255, nearest=True)
+        x = scale_crop_sample(x_i, sc, (o_h, o_w), out_hw, 0.0)
+        return r, g, x
+
+    rgb_o, gt_o, x_o = jax.vmap(one)(rgb_n, gt, x_n, flips, scale, oh, ow)
+    return rgb_o.astype(jnp.float32), gt_o.astype(jnp.int32), \
+        x_o.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_batch(rgb, modal_x, rgb_mean, rgb_std, x_mean, x_std):
+    """Val preprocessing: normalize only (ValPre, dataloader.py:112-122)."""
+    rgb = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
+    modal_x = (modal_x.astype(jnp.float32) / 255.0 - x_mean) / x_std
+    return rgb.astype(jnp.float32), modal_x.astype(jnp.float32)

@@ -1,0 +1,138 @@
+"""Batching + prefetch loader.
+
+Replaces the reference's torch DataLoader worker processes
+(utils/dataloader/dataloader.py:126-226) with a thread-pool decode +
+double-buffered prefetch: cv2/numpy release the GIL during decode, and the
+heavy augmentation work runs on device (data/augment.py), so host threads
+only read files and stack arrays.
+
+Data-parallel sharding: each batch is GLOBAL; under a mesh the train step's
+in_shardings split it over the data axis (replacing DistributedSampler +
+per-rank batch_size//world_size, dataloader.py:160-163). For multi-host,
+`Loader(shard=(rank, world))` reads only this host's slice.
+"""
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 shard=(0, 1), prefetch: int = 2, num_threads: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard = shard
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.seed + epoch)
+
+    def __len__(self):
+        n = len(self.dataset)
+        rank, world = self.shard
+        n = (n + world - 1) // world if not self.drop_last else n // world
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        rank, world = self.shard
+        return idx[rank::world]
+
+    def _collate(self, items):
+        batch = {}
+        for k in items[0]:
+            vals = [it[k] for it in items]
+            if isinstance(vals[0], np.ndarray):
+                batch[k] = np.stack(vals)
+            else:
+                batch[k] = vals
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[int(i)] for i in b]
+                    q.put(self._collate(items))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False):
+    """Factory mirroring get_train_loader (dataloader.py:126-177): epoch
+    length = batch_size * niters_per_epoch via oversampling."""
+    from dformer_tpu.data.datasets import RGBXDataset, SyntheticRGBXDataset
+
+    file_length = cfg.batch_size * cfg.niters_per_epoch
+    if synthetic:
+        ds = SyntheticRGBXDataset(cfg.num_train_imgs,
+                                  (cfg.image_height, cfg.image_width),
+                                  cfg.num_classes, file_length=file_length)
+    else:
+        ds = (dataset_cls or RGBXDataset)(_data_setting(cfg), "train",
+                                          file_length=file_length)
+    return Loader(ds, cfg.batch_size, shuffle=True, drop_last=True,
+                  seed=cfg.get("seed", 0), shard=shard)
+
+
+def val_batches(cfg, dataset_cls=None, batch_size: int = 1, shard=(0, 1),
+                synthetic: bool = False, n: Optional[int] = None):
+    from dformer_tpu.data.datasets import RGBXDataset, SyntheticRGBXDataset
+
+    if synthetic:
+        ds = SyntheticRGBXDataset(n or cfg.num_eval_imgs,
+                                  (cfg.image_height, cfg.image_width),
+                                  cfg.num_classes)
+    else:
+        ds = (dataset_cls or RGBXDataset)(_data_setting(cfg), "val")
+    return Loader(ds, batch_size, shuffle=False, drop_last=False, shard=shard)
+
+
+def _data_setting(cfg):
+    return dict(
+        rgb_root=cfg.rgb_root_folder, rgb_format=cfg.rgb_format,
+        gt_root=cfg.gt_root_folder, gt_format=cfg.gt_format,
+        transform_gt=cfg.gt_transform, x_root=cfg.x_root_folder,
+        x_format=cfg.x_format, x_single_channel=cfg.x_is_single_channel,
+        class_names=cfg.class_names, train_source=cfg.train_source,
+        eval_source=cfg.eval_source,
+    )

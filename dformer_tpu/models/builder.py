@@ -36,11 +36,13 @@ class EncoderDecoder(fnn.Module):
     # FSS fusion knobs (reference builder.py:297-303)
     temperature: float = 1.0
     alpha: float = 0.5
+    image_hw: Tuple[int, int] = (480, 640)
 
     def setup(self):
         if self.backbone == "DFormerTrav-Base":
             self.encoder_backbone = DFormerTrav(
                 drop_path_rate=self.drop_path_rate,
+                expand_hw=tuple(self.image_hw),
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype)
         else:
             spec = VARIANTS[self.backbone]
@@ -159,4 +161,5 @@ def build_model(cfg, bn_axis_name=None, dtype=None) -> EncoderDecoder:
         dtype=dtype,
         temperature=cfg.get("temperature", 1.0),
         alpha=cfg.get("alpha", 0.5),
+        image_hw=(cfg.get("image_height", 480), cfg.get("image_width", 640)),
     )

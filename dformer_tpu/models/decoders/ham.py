@@ -32,7 +32,7 @@ _P = jax.lax.Precision.HIGHEST
 
 
 def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
-          train: bool = False):
+          train: bool = False, one_step_grad: bool = True):
     """Non-negative matrix factorization refinement.
 
     x: [B, N, D] non-negative features; bases: [B, D, R] initial bases.
@@ -42,29 +42,39 @@ def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
     (ham_head.py:46-57,120-145) with inv_t=1: an initial softmax coef, then
     `steps` multiplicative updates of (coef, bases), then one final coef
     update, and reconstruction bases @ coef^T.
+
+    Training gradient: by default the iterated updates run under
+    stop_gradient and only the final coef update + reconstruction are
+    differentiated — HamNet's one-step gradient. (The fork comments out
+    upstream's @torch.no_grad on local_inference, ham_head.py:45, i.e. it
+    backprops through all six unrolled ratio updates; that path is
+    numerically explosive — tiny denominators square in the VJP — and
+    produces NaNs from random init, so it is opt-in via
+    one_step_grad=False.)
     """
     x = x.astype(jnp.float32)
     bases = bases.astype(jnp.float32)
     eps = 1e-6
 
-    def update_coef(coef):
-        numer = jnp.einsum("bnd,bdr->bnr", x, bases, precision=_P)
+    def update_coef(x_, bases_, coef):
+        numer = jnp.einsum("bnd,bdr->bnr", x_, bases_, precision=_P)
         denom = jnp.einsum("bnr,brs->bns", coef,
-                           jnp.einsum("bdr,bds->brs", bases, bases,
+                           jnp.einsum("bdr,bds->brs", bases_, bases_,
                                       precision=_P), precision=_P)
         return coef * numer / (denom + eps)
 
-    coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", x, bases, precision=_P),
-                          axis=-1)
+    x_iter = jax.lax.stop_gradient(x) if (train and one_step_grad) else x
+    coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", x_iter, bases,
+                                     precision=_P), axis=-1)
     steps = train_steps if train else eval_steps
     for _ in range(steps):
-        coef = update_coef(coef)
-        numer = jnp.einsum("bnd,bnr->bdr", x, coef, precision=_P)
+        coef = update_coef(x_iter, bases, coef)
+        numer = jnp.einsum("bnd,bnr->bdr", x_iter, coef, precision=_P)
         denom = jnp.einsum("bdr,brs->bds", bases,
                            jnp.einsum("bnr,bns->brs", coef, coef,
                                       precision=_P), precision=_P)
         bases = bases * numer / (denom + eps)
-    coef = update_coef(coef)
+    coef = update_coef(x, bases, coef)
     return jnp.einsum("bdr,bnr->bnd", bases, coef, precision=_P)
 
 

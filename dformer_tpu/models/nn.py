@@ -143,16 +143,19 @@ class BatchNorm(fnn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             mean = jnp.mean(xf, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             n = x.shape[0] * x.shape[1] * x.shape[2]
             # Under GSPMD jit with a batch-sharded input, these means are
             # already global (XLA inserts the collective) -> SyncBN for free.
             # axis_name is only needed under shard_map/pmap.
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            # two-pass variance: E[x^2]-E[x]^2 cancels catastrophically in
+            # fp32 for large-mean channels and can go negative -> NaN.
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                var = jax.lax.pmean(var, self.axis_name)
                 n = n * jax.lax.psum(1, self.axis_name)
-            var = mean2 - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

@@ -95,9 +95,12 @@ class Attention1Dto2D(fnn.Module):
 class DFormerTrav(fnn.Module):
     """DFormer-Base body fed by the Attention1Dto2D lidar expansion
     (reference DFormer.py:342-457). `x_e` is a raw [B, 360] lidar scan
-    (trailing singleton dims are squeezed)."""
+    (trailing singleton dims are squeezed). expand_hw sets the pseudo-depth
+    resolution (the reference hardwires 480x640; here it follows the
+    configured image size so it always matches the rgb stream)."""
 
     drop_path_rate: float = 0.1
+    expand_hw: tuple = (480, 640)
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -105,8 +108,9 @@ class DFormerTrav(fnn.Module):
     def __call__(self, x, x_e, train: bool = False):
         if x_e.ndim > 2:
             x_e = x_e.reshape(x_e.shape[0], -1)[:, :360]
-        pseudo_depth = Attention1Dto2D(dtype=self.dtype,
-                                       name="attn_expand_e")(x_e)
+        pseudo_depth = Attention1Dto2D(
+            mid_len=self.expand_hw[1], output_len=self.expand_hw[0],
+            dtype=self.dtype, name="attn_expand_e")(x_e)
         body = DFormer(drop_path_rate=self.drop_path_rate,
                        bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                        name="body", **VARIANTS["DFormer-Base"])

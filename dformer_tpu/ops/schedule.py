@@ -11,14 +11,17 @@ import jax.numpy as jnp
 
 def poly_lr(step, base_lr: float, total_steps: int, power: float = 0.9):
     step = jnp.asarray(step, jnp.float32)
-    return base_lr * (1.0 - step / float(total_steps)) ** power
+    # clamp: past total_steps the base goes negative and x**0.9 -> NaN
+    frac = jnp.clip(1.0 - step / float(total_steps), 0.0, 1.0)
+    return base_lr * frac ** power
 
 
 def warmup_poly_lr(step, base_lr: float, total_steps: int, warmup_steps: int,
                    power: float = 0.9):
     step = jnp.asarray(step, jnp.float32)
     warm = base_lr * step / jnp.maximum(float(warmup_steps), 1.0)
-    poly = base_lr * (1.0 - step / float(total_steps)) ** power
+    frac = jnp.clip(1.0 - step / float(total_steps), 0.0, 1.0)
+    poly = base_lr * frac ** power
     return jnp.where(step < warmup_steps, warm, poly)
 
 

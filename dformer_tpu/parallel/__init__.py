@@ -1,0 +1,2 @@
+from dformer_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                       shard_batch)
