@@ -97,6 +97,80 @@ class Loader:
             stop.set()
 
 
+class NativeBatchLoader:
+    """Batch loader backed by the C++ decode pool (data/native_loader.py):
+    pipelined double-buffered decode of fixed-canvas RGBX datasets straight
+    into reusable uint8 batch buffers — zero Python in the decode path.
+
+    Requires every image to decode at the dataset canvas (cfg.image_height/
+    width), which holds for NYUDepthv2; fall back to Loader otherwise."""
+
+    def __init__(self, dataset, batch_size: int, hw, shuffle=False,
+                 drop_last=False, seed=0, shard=(0, 1), num_threads=4):
+        from dformer_tpu.data.native_loader import NativeLoader
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.hw = hw
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard = shard
+        self.epoch = 0
+        self._nl = NativeLoader(num_threads)
+
+    set_epoch = Loader.set_epoch
+    __len__ = Loader.__len__
+    _indices = Loader._indices
+
+    def _paths(self, index):
+        """(rgb_path, gt_path, x_path) for a dataset item (RGBXDataset)."""
+        import os.path as osp
+
+        item = self.dataset._name(index).split("\t")
+        item[-1] = item[-1].strip()
+        s = self.dataset._s
+        return (osp.join(s["rgb_root"], item[0].replace("RGB/", "")),
+                osp.join(s["gt_root"], item[-1].replace("Label/", "")),
+                osp.join(s["x_root"], item[-1].replace("Label/", "")))
+
+    def __iter__(self):
+        from dformer_tpu.data.datasets import gt_transform
+
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        H, W = self.hw
+        B = self.batch_size
+        # two buffer sets -> decode batch k+1 while batch k trains
+        bufs = [dict(rgb=np.empty((B, H, W, 3), np.uint8),
+                     gt=np.empty((B, H, W, 1), np.uint8),
+                     x=np.empty((B, H, W, 1), np.uint8)) for _ in range(2)]
+
+        def submit(k):
+            rows = idx[k * B:(k + 1) * B]
+            paths = [self._paths(int(i)) for i in rows]
+            slot = bufs[k % 2]
+            n = len(rows)
+            t1 = self._nl.submit([p[0] for p in paths], slot["rgb"][:n], True)
+            t2 = self._nl.submit([p[1] for p in paths], slot["gt"][:n], False)
+            t3 = self._nl.submit([p[2] for p in paths], slot["x"][:n], False)
+            return (t1, t2, t3, n, slot)
+
+        pending = submit(0) if nb else None
+        for k in range(nb):
+            t1, t2, t3, n, slot = pending
+            pending = submit(k + 1) if k + 1 < nb else None
+            for t in (t1, t2, t3):
+                self._nl.wait(t)
+            gt = slot["gt"][:n, ..., 0].astype(np.int32)
+            if self.dataset._s["transform_gt"]:
+                gt = gt_transform(gt)
+            x = np.repeat(slot["x"][:n], 3, axis=-1)
+            yield dict(rgb=slot["rgb"][:n].copy(), gt=gt, modal_x=x,
+                       fn=[str(i) for i in idx[k * B:(k + 1) * B]])
+
+
 def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False):
     """Factory mirroring get_train_loader (dataloader.py:126-177): epoch
     length = batch_size * niters_per_epoch via oversampling."""

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: fused DFormer MLP block.
+
+Computes, in ONE pass over the feature map (reference semantics,
+models/encoders/DFormer.py:48-67):
+
+    y   = LayerNorm(x)                      # fp32 stats
+    h   = y @ fc1_w + fc1_b                 # [., C] -> [., Ch]
+    h   = dwconv3x3(h, pos_w) + pos_b + h   # depthwise positional branch
+    h   = gelu(h)                           # exact erf
+    out = h @ fc2_w + fc2_b                 # [., Ch] -> [., C]
+
+Why a kernel: stages 0/1 run at high resolution with mlp_ratio 8, so the
+hidden activation is 8x the input (e.g. [8,120,160,768] bf16 = 236 MB for
+DFormer-L stage 0). XLA materializes it to HBM between the matmuls and the
+conv; profiling shows the encoder is memory-bound there (SURVEY.md hot-loop
+analysis; measured 35ms of 53ms in stages 0/1). This kernel keeps the hidden
+tile in VMEM: HBM traffic drops to x-in + out-out.
+
+Tiling: grid (B, H/Th). The input is pre-padded by 1 pixel in H and W (the
+dwconv halo), kept in ANY/HBM memory space, and each program DMAs its
+(Th+2, W+2, C) tile into VMEM scratch. The dwconv is 9 shifted
+multiply-adds on the VMEM-resident hidden tile (VPU), the two matmuls hit
+the MXU with fp32 accumulation.
+
+Training: jax.custom_vjp with the backward pass expressed in plain jnp
+(XLA) — forward speed is what matters for inference/serving; the backward
+recompute keeps gradients exact vs the reference math.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_row_tile(h: int, w: int, ch: int, budget_bytes: int = 6 * 2 ** 20):
+    """Largest Th dividing h with hidden tile under the VMEM budget."""
+    best = 1
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        hidden_bytes = (th + 2) * (w + 2) * ch * 4  # fp32 hidden tile
+        if hidden_bytes <= budget_bytes:
+            best = th
+    return best
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7): Mosaic has
+    no erf/erfc lowering, but exp is supported."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel(x_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
+            out_ref, x_tile, h_tile, sem, *, Th: int, W: int, WP: int,
+            C: int, CP: int, Ch: int, eps: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # DMA the (Th+2, WP, CP) halo tile of this program from HBM. WP is W+2
+    # rounded to the 8-sublane DMA granularity and CP is C rounded to the
+    # 128-lane granularity (Mosaic requires slice DMAs aligned to tiling);
+    # the padding columns/channels are zeros and masked/sliced out below.
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * Th, Th + 2)], x_tile, sem)
+    cp.start()
+    cp.wait()
+
+    rows = (Th + 2) * WP
+    xf = x_tile[:, :, :C].reshape(rows, C).astype(jnp.float32)
+
+    # LayerNorm (fp32, matching models/nn.py LayerNorm)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_w[:].astype(jnp.float32) + ln_b[:].astype(jnp.float32)
+
+    # fc1 on the MXU, fp32 accumulate
+    h = jnp.dot(y.astype(fc1_w.dtype), fc1_w[:],
+                preferred_element_type=jnp.float32)
+    h = h + fc1_b[:].astype(jnp.float32)
+    h = h.reshape(Th + 2, WP, Ch)
+    # The conv must see ZERO outside the true image (torch zero-padding);
+    # tile-local halo pixels that fall outside [0,H)x[0,W) were computed
+    # from the x zero-pad (fc1(LN(0)) != 0) — mask them out. Interior-tile
+    # halos are real neighbor rows and stay.
+    gr = i * Th + jax.lax.broadcasted_iota(
+        jnp.int32, (Th + 2, WP, 1), 0) - 1
+    gc = jax.lax.broadcasted_iota(jnp.int32, (Th + 2, WP, 1), 1) - 1
+    num_rows = pl.num_programs(1) * Th
+    # fp32 mask multiply: Mosaic only lowers minor-dim inserts for 32-bit
+    # types, so avoid expanding a bool mask
+    valid = ((gr >= 0) & (gr < num_rows) & (gc >= 0) & (gc < W))
+    h_tile[:] = h * valid.astype(jnp.float32)
+
+    # depthwise 3x3 over the VMEM tile: one sublane shift per column offset
+    # (cheap row slices from each), then +bias +residual on the center
+    hc = h_tile[1:Th + 1, 1:W + 1, :]
+    acc = None
+    for dc in (0, 1, 2):
+        col = h_tile[:, dc:dc + W, :]
+        for dr in (0, 1, 2):
+            term = col[dr:dr + Th] * pos_w[dr, dc, :]
+            acc = term if acc is None else acc + term
+    acc = acc + pos_b[:].astype(jnp.float32) + hc
+
+    # erf-GELU via the in-kernel erf approximation, then fc2 on the MXU
+    g = 0.5 * acc * (1.0 + _erf(acc * np.float32(0.7071067811865476)))
+    out = jnp.dot(g.reshape(Th * W, Ch).astype(fc2_w.dtype), fc2_w[:],
+                  preferred_element_type=jnp.float32)
+    out = out + fc2_b[:].astype(jnp.float32)
+    out_ref[0] = out.reshape(Th, W, C).astype(out_ref.dtype)
+
+
+def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
+                    eps: float, interpret: bool):
+    B, H, W, C = x.shape
+    Ch = fc1_w.shape[1]
+    Th = _pick_row_tile(H, W, Ch)
+    WP = -(-(W + 2) // 8) * 8       # DMA sublane granularity
+    CP = -(-C // 128) * 128         # DMA lane granularity
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, WP - W - 1), (0, CP - C)))
+
+    kern = functools.partial(_kernel, Th=Th, W=W, WP=WP, C=C, CP=CP, Ch=Ch,
+                             eps=eps)
+    flops = 2 * B * H * W * C * Ch * 2 + B * H * W * Ch * 9 * 2
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // Th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc1_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc1_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pos_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pos_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc2_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fc2_b
+        ],
+        out_specs=pl.BlockSpec((1, Th, W, C), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Th + 2, WP, CP), x.dtype),
+            pltpu.VMEM((Th + 2, WP, Ch), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=B * H * W * Ch),
+        interpret=interpret,
+    )(xp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
+
+
+def fused_mlp_reference(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
+                        fc2_b, eps: float = 1e-6):
+    """Plain-XLA reference of the same math (used for the backward pass and
+    as the numerical oracle in tests)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_w + ln_b
+    h = jnp.dot(y.astype(x.dtype), fc1_w,
+                preferred_element_type=jnp.float32) + fc1_b
+    conv = jax.lax.conv_general_dilated(
+        h.astype(x.dtype), pos_w[:, :, None, :].astype(x.dtype),
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=h.shape[-1])
+    h = conv.astype(jnp.float32) + pos_b + h
+    g = jax.nn.gelu(h, approximate=False)
+    out = jnp.dot(g.astype(x.dtype), fc2_w,
+                  preferred_element_type=jnp.float32) + fc2_b
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_mlp(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
+              eps: float = 1e-6, interpret: bool = False):
+    """Fused MLP block. pos_w is the depthwise kernel as [3, 3, Ch]."""
+    return _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b,
+                           fc2_w, fc2_b, eps, interpret)
+
+
+def _fwd(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b, eps,
+         interpret):
+    out = _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
+                          fc2_b, eps, interpret)
+    return out, (x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
+
+
+def _bwd(eps, interpret, res, g):
+    x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b = res
+    _, vjp = jax.vjp(
+        lambda *a: fused_mlp_reference(*a, eps=eps),
+        x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
+    return vjp(g)
+
+
+fused_mlp.defvjp(_fwd, _bwd)

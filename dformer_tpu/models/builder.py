@@ -37,18 +37,21 @@ class EncoderDecoder(fnn.Module):
     temperature: float = 1.0
     alpha: float = 0.5
     image_hw: Tuple[int, int] = (480, 640)
+    use_pallas: bool = False
 
     def setup(self):
         if self.backbone == "DFormerTrav-Base":
             self.encoder_backbone = DFormerTrav(
                 drop_path_rate=self.drop_path_rate,
                 expand_hw=tuple(self.image_hw),
-                bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                use_pallas=self.use_pallas)
         else:
             spec = VARIANTS[self.backbone]
             self.encoder_backbone = DFormer(
                 drop_path_rate=self.drop_path_rate,
-                bn_axis_name=self.bn_axis_name, dtype=self.dtype, **spec)
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                use_pallas=self.use_pallas, **spec)
 
         head_kw = dict(num_classes=self.num_classes, bn_eps=self.bn_eps,
                        bn_momentum=self.bn_momentum,
@@ -146,9 +149,20 @@ class EncoderDecoder(fnn.Module):
         return self.alpha * logits + (1.0 - self.alpha) * sim
 
 
-def build_model(cfg, bn_axis_name=None, dtype=None) -> EncoderDecoder:
-    """Construct an EncoderDecoder from a local_configs-style config."""
+def build_model(cfg, bn_axis_name=None, dtype=None,
+                pallas: str = "auto") -> EncoderDecoder:
+    """Construct an EncoderDecoder from a local_configs-style config.
+
+    pallas: 'auto' enables the fused Pallas kernels on TPU backends,
+    'on'/'off' force."""
+    import jax
+
+    if pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = pallas == "on"
     return EncoderDecoder(
+        use_pallas=use_pallas,
         backbone=cfg.backbone,
         decoder=cfg.decoder,
         num_classes=cfg.num_classes,

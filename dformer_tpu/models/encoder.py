@@ -32,68 +32,132 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as fnn
 
-from dformer_tpu.models.nn import (BatchNorm, Conv, DropPath, LayerNorm,
-                                   Linear, gelu)
+from dformer_tpu.models.nn import (BatchNorm, Conv, DenseP, DropPath,
+                                   DWConvP, LayerNorm, LayerNormP, Linear,
+                                   gelu)
 from dformer_tpu.ops.pool import adaptive_avg_pool2d
 from dformer_tpu.ops.resize import resize_bilinear
 
 
 class MLPBlock(fnn.Module):
     """LN -> fc1 -> depthwise-3x3 positional branch -> GELU -> fc2
-    (reference DFormer.py:48-67)."""
+    (reference DFormer.py:48-67).
+
+    With use_pallas=True the whole block runs as one Pallas kernel
+    (kernels/fused_mlp.py) keeping the ratio-8 hidden activation in VMEM —
+    the stock path materializes it to HBM three times. Param tree paths are
+    identical either way."""
 
     dim: int
     mlp_ratio: int = 4
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
-    @fnn.compact
-    def __call__(self, x):
+    def setup(self):
         hidden = self.dim * self.mlp_ratio
-        x = LayerNorm(name="norm")(x)
-        x = Linear(hidden, dtype=self.dtype, name="fc1")(x)
-        x = Conv(hidden, (3, 3), (1, 1), (1, 1), groups=hidden,
-                 dtype=self.dtype, name="pos")(x) + x
-        x = gelu(x)
-        x = Linear(self.dim, dtype=self.dtype, name="fc2")(x)
-        return x
+        self.norm = LayerNormP(self.dim, name="norm")
+        self.fc1 = DenseP(self.dim, hidden, name="fc1")
+        self.pos = DWConvP(hidden, 3, name="pos")
+        self.fc2 = DenseP(hidden, self.dim, name="fc2")
+
+    def __call__(self, x):
+        dt = self.dtype or x.dtype
+        if self.use_pallas and not self.is_initializing():
+            from dformer_tpu.kernels.fused_mlp import fused_mlp
+
+            return fused_mlp(
+                x.astype(dt), self.norm.weight, self.norm.bias,
+                self.fc1.kernel.astype(dt), self.fc1.bias,
+                self.pos.kernel[:, :, 0, :].astype(dt), self.pos.bias,
+                self.fc2.kernel.astype(dt), self.fc2.bias)
+        y = self.norm(x)
+        y = self.fc1(y, dtype=dt)
+        y = self.pos(y, dtype=dt) + y
+        y = gelu(y)
+        y = self.fc2(y, dtype=dt)
+        return y
 
 
 class Attention(fnn.Module):
     """DFormer block core: local enhancement + depth gating + GAA
-    (reference DFormer.py:70-145)."""
+    (reference DFormer.py:70-145).
+
+    use_pallas (window==0, not drop_depth): the whole local path — two LNs,
+    five linears, both 7x7 depthwise convs, gating and the two output
+    projections — runs as one Pallas kernel (kernels/fused_attention.py)."""
 
     dim: int
     num_head: int = 8
     window: int = 7
     drop_depth: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
-    @fnn.compact
+    def setup(self):
+        C = self.dim
+        self.norm = LayerNormP(C, name="norm")
+        self.norm_e = LayerNormP(C // 2, name="norm_e")
+        self.q = DenseP(C, C, name="q")
+        self.q_cut = DenseP(C, C // 2, name="q_cut")
+        self.l = DenseP(C, C, name="l")
+        self.conv = DWConvP(C, 7, name="conv")
+        self.a = DenseP(C, C, name="a")
+        self.e_fore = DenseP(C // 2, C // 2, name="e_fore")
+        self.e_conv = DWConvP(C // 2, 7, name="e_conv")
+        self.e_back = DenseP(C // 2, C // 2, name="e_back")
+        cat = C * 2 if self.window != 0 else C // 2 * 3
+        self.proj = DenseP(cat, C, name="proj")
+        if not self.drop_depth:
+            self.proj_e = DenseP(cat, C // 2, name="proj_e")
+        if self.window != 0:
+            self.short_cut_linear = DenseP(C // 2 * 3, C // 2,
+                                           name="short_cut_linear")
+            self.kv = DenseP(C, C, name="kv")
+
     def __call__(self, x, x_e):
         B, H, W, C = x.shape
         nh = self.num_head
         hd = C // nh // 2
+        dt = self.dtype or x.dtype
 
-        x = LayerNorm(name="norm")(x)
-        x_e = LayerNorm(name="norm_e")(x_e)
+        if (self.use_pallas and self.window == 0 and not self.drop_depth
+                and not self.is_initializing()):
+            from dformer_tpu.kernels.fused_attention import \
+                fused_local_attention
+
+            g = lambda m: m.kernel.astype(dt)
+            return fused_local_attention(
+                x.astype(dt), x_e.astype(dt),
+                self.norm.weight, self.norm.bias,
+                self.norm_e.weight, self.norm_e.bias,
+                g(self.q), self.q.bias, g(self.q_cut), self.q_cut.bias,
+                g(self.l), self.l.bias,
+                self.conv.kernel[:, :, 0, :].astype(dt), self.conv.bias,
+                g(self.a), self.a.bias,
+                g(self.e_fore), self.e_fore.bias,
+                self.e_conv.kernel[:, :, 0, :].astype(dt), self.e_conv.bias,
+                g(self.e_back), self.e_back.bias,
+                g(self.proj), self.proj.bias,
+                g(self.proj_e), self.proj_e.bias)
+
+        x = self.norm(x)
+        x_e = self.norm_e(x_e)
 
         if self.window != 0:
             short_cut = jnp.concatenate([x, x_e], axis=-1)
 
-        q = Linear(C, dtype=self.dtype, name="q")(x)
-        cutted_x = Linear(C // 2, dtype=self.dtype, name="q_cut")(x)
-        t = gelu(Linear(C, dtype=self.dtype, name="l")(x))
-        a = Linear(C, dtype=self.dtype, name="a")(
-            Conv(C, (7, 7), (1, 1), (3, 3), groups=C, dtype=self.dtype,
-                 name="conv")(t))
+        q = self.q(x, dtype=dt)
+        cutted_x = self.q_cut(x, dtype=dt)
+        t = gelu(self.l(x, dtype=dt))
+        a = self.a(self.conv(t, dtype=dt), dtype=dt)
 
         if self.window != 0:
-            kv = Linear(C, dtype=self.dtype, name="kv")(t)
+            kv = self.kv(t, dtype=dt)
             kv = kv.reshape(B, H * W, 2, nh, hd)
             k = kv[:, :, 0].transpose(0, 2, 1, 3)  # [B, nh, HW, hd]
             v = kv[:, :, 1].transpose(0, 2, 1, 3)
             pooled = adaptive_avg_pool2d(short_cut, (self.window, self.window))
-            m = Linear(C // 2, dtype=self.dtype, name="short_cut_linear")(pooled)
+            m = self.short_cut_linear(pooled, dtype=dt)
             m = m.reshape(B, self.window * self.window, nh, hd).transpose(0, 2, 1, 3)
             # 49 query tokens attend over the full-res keys. Logits in fp32.
             logits = jnp.einsum(
@@ -107,10 +171,8 @@ class Attention(fnn.Module):
                 B, self.window, self.window, C // 2)
             gaa = resize_bilinear(gaa, (H, W), align_corners=False)
 
-        x_e = Linear(C // 2, dtype=self.dtype, name="e_back")(
-            Conv(C // 2, (7, 7), (1, 1), (3, 3), groups=C // 2,
-                 dtype=self.dtype, name="e_conv")(
-                Linear(C // 2, dtype=self.dtype, name="e_fore")(x_e)))
+        x_e = self.e_back(self.e_conv(self.e_fore(x_e, dtype=dt), dtype=dt),
+                          dtype=dt)
         cutted_x = cutted_x * x_e
         x = q * a
 
@@ -119,9 +181,12 @@ class Attention(fnn.Module):
         else:
             x = jnp.concatenate([x, cutted_x], axis=-1)
         if not self.drop_depth:
-            x_e = Linear(C // 2, dtype=self.dtype, name="proj_e")(x)
-        x = Linear(C, dtype=self.dtype, name="proj")(x)
+            x_e = self.proj_e(x, dtype=dt)
+        x = self.proj(x, dtype=dt)
         return x, x_e
+
+
+FUSE_ATTENTION = False  # see Block.__call__
 
 
 def _layer_scale_init(value):
@@ -141,6 +206,7 @@ class Block(fnn.Module):
     drop_prob: float = 0.0
     drop_depth: bool = False
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @fnn.compact
     def __call__(self, x, x_e, deterministic: bool = True):
@@ -149,11 +215,18 @@ class Block(fnn.Module):
         drop = DropPath(self.drop_prob, name="drop_path")
 
         res_x, res_e = x, x_e
+        # Fused-attention kernel measured at parity with XLA's schedule for
+        # this op mix (2.9ms/block either way on v5e) — keep it opt-in via
+        # FUSE_ATTENTION until it wins; the fused MLP is the one that pays
+        # (2x on stage 0).
         x, x_e = Attention(self.dim, self.num_head, self.window,
-                           self.drop_depth, dtype=self.dtype, name="attn")(x, x_e)
+                           self.drop_depth, dtype=self.dtype,
+                           use_pallas=self.use_pallas and FUSE_ATTENTION,
+                           name="attn")(x, x_e)
         x = res_x + drop(ls1.astype(x.dtype) * x, deterministic)
         x = x + drop(ls2.astype(x.dtype) *
                      MLPBlock(self.dim, self.mlp_ratio, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
                               name="mlp")(x), deterministic)
         if not self.drop_depth:
             ls1e = self.param("layer_scale_1_e", _layer_scale_init(1e-6),
@@ -163,7 +236,9 @@ class Block(fnn.Module):
             x_e = res_e + drop(ls1e.astype(x_e.dtype) * x_e, deterministic)
             x_e = x_e + drop(ls2e.astype(x_e.dtype) *
                              MLPBlock(self.dim // 2, self.mlp_ratio,
-                                      dtype=self.dtype, name="mlp_e2")(x_e),
+                                      dtype=self.dtype,
+                                      use_pallas=self.use_pallas,
+                                      name="mlp_e2")(x_e),
                              deterministic)
         return x, x_e
 
@@ -220,6 +295,7 @@ class DFormer(fnn.Module):
     drop_path_rate: float = 0.1
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @fnn.compact
     def __call__(self, x, x_e, train: bool = False):
@@ -257,7 +333,7 @@ class DFormer(fnn.Module):
                 x, x_e = Block(self.dims[i], self.num_heads[i],
                                self.mlp_ratios[i], window,
                                float(dp_rates[cur + j]), drop_depth,
-                               dtype=self.dtype,
+                               dtype=self.dtype, use_pallas=self.use_pallas,
                                name=f"stage_{i}_block_{j}")(x, x_e,
                                                             deterministic)
             outs.append(x)
@@ -285,7 +361,8 @@ VARIANTS = {
 
 def make_encoder(name: str, drop_path_rate: float = 0.1,
                  bn_axis_name: Optional[str] = None,
-                 dtype: Optional[jnp.dtype] = None) -> DFormer:
+                 dtype: Optional[jnp.dtype] = None,
+                 use_pallas: bool = False) -> DFormer:
     spec = VARIANTS[name]
     return DFormer(drop_path_rate=drop_path_rate, bn_axis_name=bn_axis_name,
-                   dtype=dtype, **spec)
+                   dtype=dtype, use_pallas=use_pallas, **spec)

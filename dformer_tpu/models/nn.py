@@ -195,6 +195,76 @@ class Dropout(fnn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class DenseP(fnn.Module):
+    """Linear with setup-declared params (same names/shapes/inits as Linear)
+    so callers can read .kernel/.bias without running the module — used by
+    the Pallas-fused paths."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", _kaiming_uniform_linear,
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", _fanin_uniform_bias(self.in_features),
+                               (self.features,))
+
+    def __call__(self, x, dtype=None):
+        dt = dtype or x.dtype
+        return jnp.dot(x.astype(dt), self.kernel.astype(dt)) \
+            + self.bias.astype(dt)
+
+
+class LayerNormP(fnn.Module):
+    """LayerNorm with setup-declared params (paths match LayerNorm)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    def setup(self):
+        self.weight = self.param("weight", fnn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", fnn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * self.weight.astype(jnp.float32) + self.bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class DWConvP(fnn.Module):
+    """Depthwise conv with setup-declared params (paths match Conv with
+    groups=features): kernel [kh, kw, 1, features]."""
+
+    features: int
+    kernel_size: int = 3
+
+    def setup(self):
+        kh = kw = self.kernel_size
+        fan_in = kh * kw  # in/groups == 1
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        self.kernel = self.param("kernel", kernel_init,
+                                 (kh, kw, 1, self.features))
+        self.bias = self.param("bias", _fanin_uniform_bias(fan_in),
+                               (self.features,))
+
+    def __call__(self, x, dtype=None):
+        dt = dtype or x.dtype
+        pad = self.kernel_size // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), self.kernel.astype(dt), (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.features)
+        return y + self.bias.astype(dt)
+
+
 class ConvBNReLU(fnn.Module):
     """mmcv ConvModule(conv + optional BN + optional ReLU) equivalent, 1x1/3x3."""
 

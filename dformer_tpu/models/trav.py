@@ -103,6 +103,7 @@ class DFormerTrav(fnn.Module):
     expand_hw: tuple = (480, 640)
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @fnn.compact
     def __call__(self, x, x_e, train: bool = False):
@@ -113,5 +114,6 @@ class DFormerTrav(fnn.Module):
             dtype=self.dtype, name="attn_expand_e")(x_e)
         body = DFormer(drop_path_rate=self.drop_path_rate,
                        bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                       use_pallas=self.use_pallas,
                        name="body", **VARIANTS["DFormer-Base"])
         return body(x, pseudo_depth, train)

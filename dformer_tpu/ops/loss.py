@@ -65,3 +65,109 @@ def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
     loss = alpha * (1.0 - pt) ** gamma * nll
     loss = jnp.where(valid, loss, 0.0)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def tversky_loss(logits, labels, alpha: float = 0.5, beta: float = 0.5,
+                 ignore_index: int = 255, smooth: float = 1.0):
+    """Tversky index loss (capability parity with
+    models/losses/tversky_loss.py); alpha=beta=0.5 reduces to Dice."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (labels != ignore_index)[..., None]
+    onehot = jax.nn.one_hot(jnp.where(labels == ignore_index, 0, labels),
+                            num_classes)
+    onehot = jnp.where(valid, onehot, 0.0)
+    probs = jnp.where(valid, probs, 0.0)
+    tp = jnp.sum(probs * onehot, axis=(0, 1, 2))
+    fp = jnp.sum(probs * (1.0 - onehot), axis=(0, 1, 2))
+    fn = jnp.sum((1.0 - probs) * onehot, axis=(0, 1, 2))
+    tversky = (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+    return 1.0 - jnp.mean(tversky)
+
+
+def lovasz_softmax_loss(logits, labels, ignore_index: int = 255):
+    """Lovasz-softmax (capability parity with models/losses/lovasz_loss.py):
+    direct mIoU surrogate via the Lovasz extension of the Jaccard loss.
+
+    Sorting runs per class over the flattened pixels (jnp.sort is
+    TPU-compatible; invalid pixels get zero error so they sort last and
+    receive zero Jaccard gradient weight)."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.reshape(-1, num_classes)
+    labels_f = labels.reshape(-1)
+    valid = labels_f != ignore_index
+    safe = jnp.where(valid, labels_f, 0)
+
+    def class_loss(c):
+        fg = ((safe == c) & valid).astype(jnp.float32)
+        errors = jnp.where(valid, jnp.abs(fg - probs[:, c]), 0.0)
+        order = jnp.argsort(-errors)
+        err_sorted = errors[order]
+        fg_sorted = fg[order]
+        gts = jnp.sum(fg_sorted)
+        inter = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum(1.0 - fg_sorted)
+        jaccard = 1.0 - inter / jnp.maximum(union, 1e-8)
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        present = gts > 0
+        return jnp.where(present, jnp.dot(err_sorted, grad), 0.0), present
+
+    losses, presents = jax.vmap(class_loss)(jnp.arange(num_classes))
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(presents), 1)
+
+
+def ohem_cross_entropy(logits, labels, thresh: float = 0.7,
+                       min_kept: int = 100000, ignore_index: int = 255):
+    """Online hard example mining CE (capability parity with
+    ProbOhemCrossEntropy2d, utils/loss_opr.py:131-187): keep pixels whose
+    predicted true-class probability is below `thresh`, but at least
+    `min_kept` pixels, then mean CE over the kept set."""
+    num_classes = logits.shape[-1]
+    logits_f = logits.astype(jnp.float32).reshape(-1, num_classes)
+    labels_f = labels.reshape(-1)
+    valid = labels_f != ignore_index
+    safe = jnp.where(valid, labels_f, 0).astype(jnp.int32)
+    probs = jax.nn.softmax(logits_f, axis=-1)
+    true_p = jnp.take_along_axis(probs, safe[:, None], axis=-1)[:, 0]
+    true_p = jnp.where(valid, true_p, 1.0)
+    kept = jnp.sort(true_p)
+    k = jnp.minimum(min_kept, true_p.shape[0]) - 1
+    dyn_thresh = jnp.maximum(kept[k], thresh)
+    keep = valid & (true_p <= dyn_thresh)
+    nll = -jnp.take_along_axis(jax.nn.log_softmax(logits_f, axis=-1),
+                               safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(keep, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(keep), 1)
+
+
+def berhu_loss(pred, target, mask=None):
+    """Reverse-Huber regression loss (capability parity with berHuLoss,
+    utils/loss_opr.py:88-107)."""
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if mask is not None:
+        diff = jnp.where(mask, diff, 0.0)
+    c = 0.2 * jnp.max(diff)
+    linear = diff
+    quad = (diff * diff + c * c) / jnp.maximum(2.0 * c, 1e-8)
+    loss = jnp.where(diff <= c, linear, quad)
+    if mask is not None:
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1)
+    return jnp.mean(loss)
+
+
+def class_balanced_ce(logits, labels, ignore_index: int = 255,
+                      beta: float = 0.999):
+    """Class-frequency-weighted CE (capability parity with BalanceLoss,
+    utils/loss_opr.py): weights by effective number of samples per class."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    onehot = jax.nn.one_hot(safe, num_classes) * valid[..., None]
+    counts = jnp.sum(onehot, axis=tuple(range(onehot.ndim - 1)))
+    eff = (1.0 - jnp.power(beta, counts)) / (1.0 - beta)
+    weights = jnp.where(counts > 0, 1.0 / jnp.maximum(eff, 1e-8), 0.0)
+    weights = weights / jnp.maximum(jnp.sum(weights), 1e-8) * num_classes
+    nll = per_pixel_cross_entropy(logits, labels, ignore_index)
+    w = jnp.take(weights, safe) * valid
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)

@@ -1,0 +1,70 @@
+"""Loss-zoo sanity + torch-parity where torch has an equivalent."""
+
+import numpy as np
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from dformer_tpu.ops.loss import (berhu_loss, class_balanced_ce, dice_loss,
+                                  focal_loss, lovasz_softmax_loss,
+                                  ohem_cross_entropy, tversky_loss)
+
+RNG = np.random.RandomState(0)
+
+
+def _data(C=6, ignore=True):
+    logits = RNG.randn(2, 10, 12, C).astype(np.float32)
+    labels = RNG.randint(0, C, (2, 10, 12)).astype(np.int64)
+    if ignore:
+        labels[0, :3] = 255
+    return jnp.asarray(logits), jnp.asarray(labels)
+
+
+def test_losses_finite_and_positive():
+    logits, labels = _data()
+    for fn in (dice_loss, focal_loss, tversky_loss, lovasz_softmax_loss,
+               class_balanced_ce):
+        v = float(fn(logits, labels))
+        assert np.isfinite(v) and v >= 0, fn.__name__
+
+
+def test_losses_zero_at_perfect_prediction():
+    C = 4
+    labels = RNG.randint(0, C, (2, 8, 8))
+    logits = jax.nn.one_hot(labels, C) * 50.0
+    labels = jnp.asarray(labels)
+    assert float(dice_loss(logits, labels)) < 1e-3
+    assert float(tversky_loss(logits, labels)) < 1e-3
+    assert float(lovasz_softmax_loss(logits, labels)) < 1e-3
+    assert float(focal_loss(logits, labels)) < 1e-6
+
+
+def test_ohem_keeps_hard_pixels():
+    logits, labels = _data()
+    full = float(ohem_cross_entropy(logits, labels, thresh=0.7, min_kept=10))
+    # hard-pixel mean CE must be >= plain mean CE (easy pixels dropped)
+    from dformer_tpu.ops.loss import softmax_cross_entropy_masked_mean
+
+    plain = float(softmax_cross_entropy_masked_mean(logits, labels))
+    assert full >= plain - 1e-5
+
+
+def test_berhu_matches_manual():
+    pred = jnp.asarray(RNG.randn(4, 8).astype(np.float32))
+    target = jnp.asarray(RNG.randn(4, 8).astype(np.float32))
+    diff = np.abs(np.asarray(pred) - np.asarray(target))
+    c = 0.2 * diff.max()
+    want = np.where(diff <= c, diff, (diff ** 2 + c ** 2) / (2 * c)).mean()
+    got = float(berhu_loss(pred, target))
+    assert abs(got - want) < 1e-5
+
+
+def test_lovasz_decreases_with_better_preds():
+    C = 3
+    labels = jnp.asarray(RNG.randint(0, C, (1, 16, 16)))
+    good = jax.nn.one_hot(labels, C) * 5.0
+    bad = jnp.asarray(RNG.randn(1, 16, 16, C).astype(np.float32))
+    assert float(lovasz_softmax_loss(good, labels)) < \
+        float(lovasz_softmax_loss(bad, labels))

@@ -112,6 +112,9 @@ def main():
         if args.continue_fpath:
             state, start_epoch = ckpt.restore(state, args.continue_fpath)
 
+        from dformer_tpu.runtime.tb import TBWriter
+
+        tb = TBWriter(cfg.get("tb_dir"), rank=engine.rank)
         trainer = Trainer(model, state, tx, cfg, mesh=mesh, logger=log,
                           seed=engine.seed)
         train_loader = train_batches(cfg, shard=engine.data_shard(),
@@ -120,6 +123,7 @@ def main():
         for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
             mean_loss = trainer.run_epoch(train_loader, epoch)
+            tb.scalar("train/loss", mean_loss, epoch)
             log.info(f"epoch {epoch}/{cfg.nepochs} loss {mean_loss:.4f} "
                      f"({time.time() - t0:.1f}s)")
             if is_eval(epoch, cfg):
@@ -137,9 +141,13 @@ def main():
                 _, macc = m.compute_pixel_acc()
                 _, mf1 = m.compute_f1()
                 log.info(f"epoch {epoch} mIoU {miou} mAcc {macc} mF1 {mf1}")
+                tb.scalar("val/mIoU", miou, epoch)
+                tb.scalar("val/mAcc", macc, epoch)
+                tb.scalar("val/mF1", mf1, epoch)
                 if miou > best_miou and engine.rank == 0:
                     best_miou = miou
                     ckpt.save(trainer.state, epoch, miou)
+        tb.close()
         log.info(f"done; best mIoU {best_miou}")
 
 
