@@ -24,20 +24,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sample_coords(out_size: int, in_size, scale, origin):
-    """Source coords for each output index given scale and crop origin.
-
-    origin is in *scaled-image* space; scaled size = floor(in*scale)."""
+def _sample_coords(out_size: int, inv_ratio, origin):
+    """Source coords for each output index given the inverse scale ratio
+    (in_size / floor(in_size*scale) — cv2 computes the resize factor from
+    the rounded target size, not the nominal scale) and the crop origin in
+    scaled-image space."""
     idx = jnp.arange(out_size, dtype=jnp.float32)
     # cv2.resize INTER_LINEAR half-pixel rule, inverted from dst->src:
     pos = idx + origin
-    src = (pos + 0.5) / scale - 0.5
+    src = (pos + 0.5) * inv_ratio - 0.5
     return src
 
 
 def _bilinear_gather_1d(img, src, axis, pad_value):
     """Sample img along `axis` at fractional positions src, with constant pad."""
     n = img.shape[axis]
+    # cv2 clamps the source coordinate at the borders (edge replicate)
+    src = jnp.clip(src, 0.0, n - 1.0)
     lo = jnp.floor(src)
     frac = src - lo
     lo_i = jnp.clip(lo.astype(jnp.int32), 0, n - 1)
@@ -51,11 +54,11 @@ def _bilinear_gather_1d(img, src, axis, pad_value):
     return out
 
 
-def _apply_pad_mask(out, src_h, src_w, h_in, w_in, pad_value):
-    """Constant-pad where the sample grid leaves the source canvas."""
-    # valid iff the *center* rounds inside [~-0.5, n-0.5) like cv2 border
-    valid_h = (src_h > -1.0) & (src_h < h_in)
-    valid_w = (src_w > -1.0) & (src_w < w_in)
+def _apply_pad_mask(out, pos_h, pos_w, sh, sw, pad_value):
+    """Constant-pad where the crop position leaves the scaled image extent
+    [0, sh) x [0, sw) (random_crop_pad_to_shape semantics)."""
+    valid_h = (pos_h >= 0) & (pos_h < sh)
+    valid_w = (pos_w >= 0) & (pos_w < sw)
     mask = valid_h[:, None] & valid_w[None, :]
     mask = mask.reshape((1,) * (out.ndim - 3) + mask.shape + (1,))
     return jnp.where(mask, out, pad_value)
@@ -68,29 +71,43 @@ def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
     if squeeze:
         img = img[..., None]
     h_in, w_in = img.shape[0], img.shape[1]
-    src_h = _sample_coords(out_hw[0], h_in, scale, origin_hw[0])
-    src_w = _sample_coords(out_hw[1], w_in, scale, origin_hw[1])
+    # cv2 resizes to the FLOORED target size and derives the sampling ratio
+    # from it (in/floor(in*scale)), not from the nominal scale
+    sh = jnp.floor(h_in * scale)
+    sw = jnp.floor(w_in * scale)
+    inv_h = h_in / jnp.maximum(sh, 1.0)
+    inv_w = w_in / jnp.maximum(sw, 1.0)
+    src_h = _sample_coords(out_hw[0], inv_h, origin_hw[0])
+    src_w = _sample_coords(out_hw[1], inv_w, origin_hw[1])
     if nearest:
-        # cv2 INTER_NEAREST: src = floor(dst * 1/scale); with crop offset.
-        ih = jnp.clip(jnp.floor((jnp.arange(out_hw[0], dtype=jnp.float32)
-                                 + origin_hw[0]) / scale).astype(jnp.int32),
-                      0, h_in - 1)
-        iw = jnp.clip(jnp.floor((jnp.arange(out_hw[1], dtype=jnp.float32)
-                                 + origin_hw[1]) / scale).astype(jnp.int32),
-                      0, w_in - 1)
+        # cv2 INTER_NEAREST: sx = floor(dx * ifx) with ifx = 1/(out/in),
+        # both divisions rounded (cv2 computes them in float64; here f32
+        # under jit — can flip a boundary source pixel at pathological
+        # ratios, exact for the reference train_scale_array on NYU/SUNRGBD
+        # canvas sizes, see tests/test_augment_cv2_parity.py)
+        def nn_idx(out_size, origin, n_in, n_scaled):
+            ifx = 1.0 / (n_scaled / n_in)
+            dx = jnp.arange(out_size, dtype=jnp.float32) + origin
+            sx = jnp.floor(dx * ifx).astype(jnp.int32)
+            return jnp.clip(sx, 0, n_in - 1)
+
+        ih = nn_idx(out_hw[0], origin_hw[0], h_in, sh)
+        iw = nn_idx(out_hw[1], origin_hw[1], w_in, sw)
         out = jnp.take(jnp.take(img, ih, axis=0), iw, axis=1)
-        # pad region: output index beyond the scaled image extent
-        sh = jnp.floor(h_in * scale)
-        sw = jnp.floor(w_in * scale)
-        vh = (jnp.arange(out_hw[0], dtype=jnp.float32) + origin_hw[0]) < sh
-        vw = (jnp.arange(out_hw[1], dtype=jnp.float32) + origin_hw[1]) < sw
+        # pad region: crop position outside the scaled image extent
+        ph = jnp.arange(out_hw[0], dtype=jnp.float32) + origin_hw[0]
+        pw = jnp.arange(out_hw[1], dtype=jnp.float32) + origin_hw[1]
+        vh = (ph >= 0) & (ph < sh)
+        vw = (pw >= 0) & (pw < sw)
         mask = (vh[:, None] & vw[None, :])[..., None]
         out = jnp.where(mask, out, pad_value)
     else:
         imgf = img.astype(jnp.float32)
         out = _bilinear_gather_1d(imgf, src_h, axis=0, pad_value=pad_value)
         out = _bilinear_gather_1d(out, src_w, axis=1, pad_value=pad_value)
-        out = _apply_pad_mask(out, src_h, src_w, h_in, w_in, pad_value)
+        pos_h = jnp.arange(out_hw[0], dtype=jnp.float32) + origin_hw[0]
+        pos_w = jnp.arange(out_hw[1], dtype=jnp.float32) + origin_hw[1]
+        out = _apply_pad_mask(out, pos_h, pos_w, sh, sw, pad_value)
     return out[..., 0] if squeeze else out
 
 

@@ -118,6 +118,69 @@ class FewShotTravDatasetBinary:
         )
 
 
+class FewShotTravRGBDDataset:
+    """Class-grouped episodic sampler (reference RGBXDataset.py:223-326):
+    rows are grouped by the dominant class of their mask; each episode draws
+    K support + Q query items from one class's pool."""
+
+    def __init__(self, df, class_names=(0, 1), K=5, Q=1, seed=0):
+        self.K, self.Q = K, Q
+        self.seed = seed
+        self.class_names = list(class_names)
+        self.df = df.reset_index(drop=True)
+        self.class_to_rows = self._group_by_class()
+
+    def _mask_path(self, row):
+        return osp.splitext(row["img"].replace("/images/", "/labels/"))[0] \
+            + ".npy"
+
+    def _group_by_class(self):
+        rng = np.random.RandomState(self.seed)
+        groups = {c: [] for c in self.class_names}
+        for _, row in self.df.iterrows():
+            gt = np.load(self._mask_path(row))
+            classes = np.unique(gt)
+            classes = classes[(classes != 255)
+                              & np.isin(classes, self.class_names)]
+            if len(classes) == 0:
+                continue
+            c = int(rng.choice(classes))
+            groups[c].append(dict(rgb=row["img"], gt=self._mask_path(row),
+                                  depth=row["depth"]))
+        return groups
+
+    def __len__(self):
+        return len(self.class_names)
+
+    def set_epoch(self, seed):
+        self.seed = seed
+
+    def __getitem__(self, index):
+        cls = self.class_names[index]
+        pool = self.class_to_rows[cls]
+        if len(pool) < self.K + self.Q:
+            raise ValueError(f"not enough samples for class {cls}")
+        rng = np.random.RandomState(self.seed * 1000003 + index)
+        picks = rng.choice(len(pool), self.K + self.Q, replace=False)
+
+        def load(sample):
+            return (_imread_rgb(sample["rgb"]),
+                    np.load(sample["gt"]).astype(np.int32),
+                    read_lidar(sample["depth"]))
+
+        sup = [load(pool[int(i)]) for i in picks[:self.K]]
+        qry = [load(pool[int(i)]) for i in picks[self.K:]]
+        return dict(
+            s_imgs=np.stack([s[0] for s in sup]),
+            s_masks=np.stack([s[1] for s in sup]),
+            s_depths=np.stack([s[2] for s in sup]),
+            q_imgs=np.stack([q[0] for q in qry]),
+            q_masks=np.stack([q[1] for q in qry]),
+            q_depths=np.stack([q[2] for q in qry]),
+            cls=cls,
+        )
+
+
 def load_trav_csv(path):
     import pandas as pd
 
@@ -134,6 +197,37 @@ def labeled_unlabeled_split(labeled_csv, unlabeled_csv):
     val_df = val_df.rename(columns={"depth_path": "depth",
                                     "img_path": "image"})
     return train_df, val_df
+
+
+def calc_depth_mean_std(csv_file, depth_col="depth"):
+    """Lidar normalization stats over a manifest (reference
+    local_configs/_base_/datasets/Trav.py:78-88 calc_depth_mean_std;
+    produced the committed 3.7124 / 1.4213)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_file)
+    scans = np.concatenate([read_lidar(p) for p in df[depth_col]])
+    return float(np.mean(scans)), float(np.std(scans))
+
+
+def rebase_manifest_paths(csv_file, img_base, depth_base, level=4,
+                          out_csv=None):
+    """Rewrite absolute img/depth paths onto new roots, keeping the last
+    `level` path components (reference Trav.py:91-120 rename_path_csv)."""
+    import pandas as pd
+
+    def update(path, base):
+        parts = str(path).split(os.sep)
+        return osp.join(base, *parts[-level:])
+
+    df = pd.read_csv(csv_file, index_col=0)
+    depth_col = "laser" if "laser" in df.columns else "depth"
+    img_col = "img" if "img" in df.columns else "image"
+    df[depth_col] = df[depth_col].apply(lambda p: update(p, depth_base))
+    df[img_col] = df[img_col].apply(lambda p: update(p, img_base))
+    df = df.rename(columns={"laser": "depth"})
+    df.to_csv(out_csv or csv_file)
+    return df
 
 
 def kfold_splits(csv_file, n_splits=4, seed=42):

@@ -120,6 +120,12 @@ class Evaluator:
         if kind == "single":
             def fn(rgb, modal, gt):
                 logits = self._model_logits(rgb, modal)
+                # sliding on inputs smaller than the crop upscales them
+                # (val_mm.py:280-287) and returns crop-size logits; bring
+                # them back to gt resolution for the metrics
+                if logits.shape[1:3] != gt.shape[1:3]:
+                    logits = resize_bilinear(logits, gt.shape[1:3],
+                                             align_corners=True)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 hist = confusion_matrix(jnp.argmax(probs, -1), gt,
                                         self.num_classes, self.background)

@@ -87,6 +87,20 @@ class Metrics:
         self.update_hist(confusion_matrix(pred, target, self.num_classes,
                                           self.ignore_index))
 
+    def merge_across_processes(self) -> "Metrics":
+        """Sum hists over all hosts (replaces the reference's pickle
+        all_gather_object of Metrics, val_mm.py:201-207). No-op single-host."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            jnp.asarray(self.hist, jnp.int32))
+        self.hist = np.asarray(gathered, np.int64).sum(axis=0)
+        return self
+
     def compute_iou(self):
         return iou_from_hist(self.hist)
 
