@@ -36,15 +36,18 @@ def _sample_coords(out_size: int, inv_ratio, origin):
     return src
 
 
-def _bilinear_gather_1d(img, src, axis, pad_value):
-    """Sample img along `axis` at fractional positions src, with constant pad."""
-    n = img.shape[axis]
+def _bilinear_gather_1d(img, src, axis, pad_value, n_true=None):
+    """Sample img along `axis` at fractional positions src, with constant pad.
+
+    n_true: valid extent when img is a padded canvas (defaults to shape)."""
+    n = img.shape[axis] if n_true is None else n_true
     # cv2 clamps the source coordinate at the borders (edge replicate)
     src = jnp.clip(src, 0.0, n - 1.0)
     lo = jnp.floor(src)
     frac = src - lo
-    lo_i = jnp.clip(lo.astype(jnp.int32), 0, n - 1)
-    hi_i = jnp.clip(lo_i + 1, 0, n - 1)
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0,
+                    jnp.asarray(n - 1, jnp.int32))
+    hi_i = jnp.clip(lo_i + 1, 0, jnp.asarray(n - 1, jnp.int32))
     a = jnp.take(img, lo_i, axis=axis)
     b = jnp.take(img, hi_i, axis=axis)
     shape = [1] * img.ndim
@@ -65,12 +68,20 @@ def _apply_pad_mask(out, pos_h, pos_w, sh, sw, pad_value):
 
 
 def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
-                      nearest: bool = False):
-    """One sample: affine scale+crop resample of [H,W,C] (or [H,W]) to out_hw."""
+                      nearest: bool = False, true_hw=None):
+    """One sample: affine scale+crop resample of [H,W,C] (or [H,W]) to out_hw.
+
+    true_hw: optional per-sample valid extent when `img` is a padded canvas
+    (variable-size datasets like SUNRGBD are padded to one canvas on the
+    host; sampling and pad masks use the true extent)."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
-    h_in, w_in = img.shape[0], img.shape[1]
+    if true_hw is None:
+        h_in, w_in = img.shape[0], img.shape[1]
+    else:
+        h_in = true_hw[0].astype(jnp.float32)
+        w_in = true_hw[1].astype(jnp.float32)
     # cv2 resizes to the FLOORED target size and derives the sampling ratio
     # from it (in/floor(in*scale)), not from the nominal scale
     sh = jnp.floor(h_in * scale)
@@ -89,7 +100,7 @@ def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
             ifx = 1.0 / (n_scaled / n_in)
             dx = jnp.arange(out_size, dtype=jnp.float32) + origin
             sx = jnp.floor(dx * ifx).astype(jnp.int32)
-            return jnp.clip(sx, 0, n_in - 1)
+            return jnp.clip(sx, 0, jnp.asarray(n_in - 1, jnp.int32))
 
         ih = nn_idx(out_hw[0], origin_hw[0], h_in, sh)
         iw = nn_idx(out_hw[1], origin_hw[1], w_in, sw)
@@ -103,8 +114,10 @@ def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
         out = jnp.where(mask, out, pad_value)
     else:
         imgf = img.astype(jnp.float32)
-        out = _bilinear_gather_1d(imgf, src_h, axis=0, pad_value=pad_value)
-        out = _bilinear_gather_1d(out, src_w, axis=1, pad_value=pad_value)
+        out = _bilinear_gather_1d(imgf, src_h, axis=0, pad_value=pad_value,
+                                  n_true=h_in)
+        out = _bilinear_gather_1d(out, src_w, axis=1, pad_value=pad_value,
+                                  n_true=w_in)
         pos_h = jnp.arange(out_hw[0], dtype=jnp.float32) + origin_hw[0]
         pos_w = jnp.arange(out_hw[1], dtype=jnp.float32) + origin_hw[1]
         out = _apply_pad_mask(out, pos_h, pos_w, sh, sw, pad_value)
@@ -114,13 +127,17 @@ def scale_crop_sample(img, scale, origin_hw, out_hw, pad_value,
 @partial(jax.jit, static_argnames=("out_hw", "scales"))
 def device_train_augment(rgb, gt, modal_x, key, out_hw: Tuple[int, int],
                          scales: Tuple[float, ...],
-                         rgb_mean, rgb_std, x_mean, x_std):
+                         rgb_mean, rgb_std, x_mean, x_std, true_hw=None):
     """Batched train augmentation, all on device.
 
     rgb: [B,H,W,3] uint8; gt: [B,H,W] int32; modal_x: [B,H,W,Cx] (uint8 or
     float); returns normalized float32 (rgb, gt, modal_x) at out_hw.
     Matches TrainPre (dataloader.py:47-76): mirror(p=.5) -> random scale from
     `scales` -> /255-normalize -> random crop+pad(0 / 255-for-gt).
+
+    true_hw: optional [B, 2] int array of per-sample valid extents when the
+    batch is a padded canvas of variable-size images (SUNRGBD); the flip,
+    scale ratios, crop range and pad masks all use the true extents.
     """
     B, H, W = rgb.shape[0], rgb.shape[1], rgb.shape[2]
     k_flip, k_scale, k_crop = jax.random.split(key, 3)
@@ -128,11 +145,18 @@ def device_train_augment(rgb, gt, modal_x, key, out_hw: Tuple[int, int],
     scale_idx = jax.random.randint(k_scale, (B,), 0, len(scales))
     scale = jnp.asarray(scales, jnp.float32)[scale_idx]
 
+    if true_hw is None:
+        th = jnp.full((B,), H, jnp.float32)
+        tw = jnp.full((B,), W, jnp.float32)
+    else:
+        th = true_hw[:, 0].astype(jnp.float32)
+        tw = true_hw[:, 1].astype(jnp.float32)
+
     # crop origin in scaled space (generate_random_crop_pos semantics):
     # uniform in [0, max(scaled - crop, 0)]; when scaled < crop, the
     # reference center-pads — origin = -(pad_top).
     u = jax.random.uniform(k_crop, (B, 2))
-    sh, sw = jnp.floor(H * scale), jnp.floor(W * scale)
+    sh, sw = jnp.floor(th * scale), jnp.floor(tw * scale)
 
     def origin(scaled, crop, uu):
         excess = scaled - crop
@@ -150,16 +174,28 @@ def device_train_augment(rgb, gt, modal_x, key, out_hw: Tuple[int, int],
     rgb_n = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
     x_n = (modal_x.astype(jnp.float32) / 255.0 - x_mean) / x_std
 
-    def one(rgb_i, gt_i, x_i, fl, sc, o_h, o_w):
-        rgb_i = jnp.where(fl, rgb_i[:, ::-1], rgb_i)
-        gt_i = jnp.where(fl, gt_i[:, ::-1], gt_i)
-        x_i = jnp.where(fl, x_i[:, ::-1], x_i)
-        r = scale_crop_sample(rgb_i, sc, (o_h, o_w), out_hw, 0.0)
-        g = scale_crop_sample(gt_i, sc, (o_h, o_w), out_hw, 255, nearest=True)
-        x = scale_crop_sample(x_i, sc, (o_h, o_w), out_hw, 0.0)
+    def flip_valid(img, fl, w_i):
+        """Mirror within the valid extent: x -> w_i-1-x for x < w_i."""
+        iw = jnp.arange(img.shape[1])
+        src = jnp.where(iw < w_i, jnp.clip(w_i - 1 - iw, 0, img.shape[1] - 1),
+                        iw).astype(jnp.int32)
+        return jnp.where(fl, jnp.take(img, src, axis=1), img)
+
+    def one(rgb_i, gt_i, x_i, fl, sc, o_h, o_w, th_i, tw_i):
+        rgb_i = flip_valid(rgb_i, fl, tw_i)
+        gt_i = flip_valid(gt_i, fl, tw_i)
+        x_i = flip_valid(x_i, fl, tw_i)
+        hw = (th_i, tw_i)
+        r = scale_crop_sample(rgb_i, sc, (o_h, o_w), out_hw, 0.0,
+                              true_hw=hw)
+        g = scale_crop_sample(gt_i, sc, (o_h, o_w), out_hw, 255,
+                              nearest=True, true_hw=hw)
+        x = scale_crop_sample(x_i, sc, (o_h, o_w), out_hw, 0.0,
+                              true_hw=hw)
         return r, g, x
 
-    rgb_o, gt_o, x_o = jax.vmap(one)(rgb_n, gt, x_n, flips, scale, oh, ow)
+    rgb_o, gt_o, x_o = jax.vmap(one)(rgb_n, gt, x_n, flips, scale, oh, ow,
+                                     th, tw)
     return rgb_o.astype(jnp.float32), gt_o.astype(jnp.int32), \
         x_o.astype(jnp.float32)
 

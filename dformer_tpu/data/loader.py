@@ -60,7 +60,23 @@ class Loader:
         for k in items[0]:
             vals = [it[k] for it in items]
             if isinstance(vals[0], np.ndarray):
-                batch[k] = np.stack(vals)
+                shapes = {v.shape for v in vals}
+                if len(shapes) == 1:
+                    batch[k] = np.stack(vals)
+                else:
+                    # variable-size dataset (SUNRGBD): pad to a common
+                    # canvas; per-sample true extents go in batch["hw"] for
+                    # the device augment (data/augment.py true_hw)
+                    maxs = tuple(max(v.shape[d] for v in vals)
+                                 for d in range(vals[0].ndim))
+                    out = np.zeros((len(vals),) + maxs, vals[0].dtype)
+                    if vals[0].dtype != np.uint8:  # labels pad as ignore
+                        out[...] = 255
+                    for i, v in enumerate(vals):
+                        out[(i,) + tuple(slice(0, s) for s in v.shape)] = v
+                    batch[k] = out
+                    batch.setdefault("hw", np.asarray(
+                        [[v.shape[0], v.shape[1]] for v in vals], np.int32))
             else:
                 batch[k] = vals
         return batch

@@ -246,6 +246,237 @@ def fused_local_attention_reference(x, x_e, *params, eps=1e-6):
     return out.astype(x.dtype), oute.astype(x.dtype)
 
 
+def _gaa_front_kernel(x_hbm, e_hbm, ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b,
+                      conv_w, conv_b, a_w, a_b, ef_w, ef_b, econv_w, econv_b,
+                      eb_w, eb_b,
+                      xa_ref, ce_ref, t_ref, pooled_ref,
+                      x_tile, e_tile, t_tile, ef_tile, sem1, sem2,
+                      *, Th, H, W, WP, C, Ce, eps):
+    """Front half of a GAA attention block (everything except the global
+    attention): ln, fused q/q_cut/l matmul, gelu, both 7x7 dwconvs, the a /
+    e_back linears, the two gating products, plus per-tile accumulation of
+    the 7x7 adaptive-pooled concat[ln_x, ln_e] used for the GAA queries."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    halo = _HALO
+    rows = (Th + 2 * halo) * WP
+
+    cp1 = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 2 * halo)],
+                                x_tile, sem1)
+    cp2 = pltpu.make_async_copy(e_hbm.at[b, pl.ds(i * Th, Th + 2 * halo)],
+                                e_tile, sem2)
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = i * Th + jax.lax.broadcasted_iota(
+        jnp.int32, (Th + 2 * halo, WP, 1), 0) - halo
+    gc = jax.lax.broadcasted_iota(jnp.int32, (Th + 2 * halo, WP, 1), 1) - halo
+    num_rows = pl.num_programs(1) * Th
+    maskf = ((gr >= 0) & (gr < num_rows) & (gc >= 0)
+             & (gc < W)).astype(jnp.float32)
+
+    xn = _ln(x_tile[:, :, :C].reshape(rows, C).astype(jnp.float32),
+             ln_w[:], ln_b[:], eps)
+    en = _ln(e_tile[:, :, :Ce].reshape(rows, Ce).astype(jnp.float32),
+             lne_w[:], lne_b[:], eps)
+
+    # fused q/q_cut/l matmul: [rows, C] @ [C, 2.5C]
+    qcl = jnp.dot(xn.astype(qcl_w.dtype), qcl_w[:],
+                  preferred_element_type=jnp.float32) \
+        + qcl_b[:].astype(jnp.float32)
+    t = qcl[:, C + Ce:]
+    t = 0.5 * t * (1.0 + _erf(t * np.float32(0.7071067811865476)))
+    t_tile[:] = t.reshape(Th + 2 * halo, WP, C) * maskf
+
+    ef = jnp.dot(en.astype(ef_w.dtype), ef_w[:],
+                 preferred_element_type=jnp.float32) \
+        + ef_b[:].astype(jnp.float32)
+    ef_tile[:] = ef.reshape(Th + 2 * halo, WP, Ce) * maskf
+
+    conv_t = _dwconv(t_tile, conv_w[:].astype(jnp.float32), Th, W) \
+        + conv_b[:].astype(jnp.float32)
+    conv_e = _dwconv(ef_tile, econv_w[:].astype(jnp.float32), Th, W)
+
+    a = jnp.dot(conv_t.reshape(Th * W, C).astype(a_w.dtype), a_w[:],
+                preferred_element_type=jnp.float32) + a_b[:].astype(jnp.float32)
+    eb = jnp.dot(conv_e.reshape(Th * W, Ce).astype(eb_w.dtype), eb_w[:],
+                 preferred_element_type=jnp.float32) \
+        + eb_b[:].astype(jnp.float32)
+
+    qcl3 = qcl.reshape(Th + 2 * halo, WP, C + Ce + C)
+    qc = qcl3[halo:halo + Th, halo:halo + W, :].reshape(Th * W, C + Ce + C)
+    xa = qc[:, :C] * a
+    ce = qc[:, C:C + Ce] * eb
+    xa_ref[0] = xa.reshape(Th, W, C).astype(xa_ref.dtype)
+    ce_ref[0] = ce.reshape(Th, W, Ce).astype(ce_ref.dtype)
+    # t at the center region, for the kv linear outside
+    tc = t_tile[halo:halo + Th, halo:halo + W, :]
+    t_ref[0] = tc.astype(t_ref.dtype)
+
+    # adaptive-pool partials: rows of this tile weighted by the pooling
+    # matrices; accumulated across the sequential i-grid into one block
+    xnc = xn.reshape(Th + 2 * halo, WP, C)[halo:halo + Th, halo:halo + W, :]
+    enc = en.reshape(Th + 2 * halo, WP, Ce)[halo:halo + Th, halo:halo + W, :]
+    cat = jnp.concatenate([xnc, enc], axis=-1)           # [Th, W, 1.5C]
+    # row pooling weights for THIS tile, built from the static adaptive-pool
+    # bucket bounds as masked elementwise terms (no gathers / dynamic lane
+    # slicing, which Mosaic can't lower). Row bucket 7 is zero padding so
+    # shapes stay 8-aligned; the pad rows are sliced off outside.
+    r_glob = (i * Th + jax.lax.broadcasted_iota(jnp.int32, (Th, 8), 0)) \
+        .astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Th, 8), 1)
+    wh = jnp.zeros((Th, 8), jnp.float32)
+    for p in range(7):
+        rs = (p * H) // 7
+        re_ = -((-(p + 1) * H) // 7)
+        wh += jnp.where((r_glob >= rs) & (r_glob < re_) & (col == p),
+                        np.float32(1.0 / (re_ - rs)), 0.0)
+
+    @pl.when(i == 0)
+    def _():
+        pooled_ref[:] = jnp.zeros_like(pooled_ref)
+
+    # column pooling: 7 static bucket mean-reductions (plain sublane-slice
+    # sums; a [7,W]x[Th,W,CC] dot_general needs a transpose Mosaic can't
+    # shape-cast), each followed by a [Th,8]^T x [Th,CC] matmul for the rows
+    for pc in range(7):
+        cs = (pc * W) // 7
+        ce_col = -((-(pc + 1) * W) // 7)
+        colsum = jnp.sum(cat[:, cs:ce_col, :], axis=1)   # [Th, CC]
+        term = jax.lax.dot_general(
+            wh, colsum, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [8, CC]
+        pooled_ref[0, :, pc, :] += term * np.float32(1.0 / (ce_col - cs))
+
+
+def fused_gaa_front_reference(x, x_e, ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b,
+                              conv_w, conv_b, a_w, a_b, ef_w, ef_b, econv_w,
+                              econv_b, eb_w, eb_b, eps=1e-6):
+    """Plain-XLA reference of the front half (backward + oracle)."""
+    from dformer_tpu.ops.pool import adaptive_avg_pool2d
+
+    C = x.shape[-1]
+    Ce = x_e.shape[-1]
+
+    def ln(v, w, b):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(vf - mean), axis=-1, keepdims=True)
+        return ((vf - mean) * jax.lax.rsqrt(var + eps)) * w + b
+
+    def dw(v, w, k=7):
+        return jax.lax.conv_general_dilated(
+            v.astype(x.dtype), w[:, :, None, :].astype(x.dtype), (1, 1),
+            [(k // 2, k // 2)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=v.shape[-1])
+
+    xn = ln(x, ln_w, ln_b)
+    en = ln(x_e, lne_w, lne_b)
+    qcl = xn.astype(x.dtype) @ qcl_w + qcl_b
+    q, cut, t = qcl[..., :C], qcl[..., C:C + Ce], qcl[..., C + Ce:]
+    t = jax.nn.gelu(t.astype(jnp.float32), approximate=False)
+    a = dw(t, conv_w).astype(jnp.float32) + conv_b
+    a = a.astype(x.dtype) @ a_w + a_b
+    ef = en.astype(x.dtype) @ ef_w + ef_b
+    eb = dw(ef, econv_w).astype(x.dtype) @ eb_w + eb_b
+    xa = (q.astype(jnp.float32) * a.astype(jnp.float32)).astype(x.dtype)
+    ce = (cut.astype(jnp.float32) * eb.astype(jnp.float32)).astype(x.dtype)
+    pooled = adaptive_avg_pool2d(
+        jnp.concatenate([xn, en], axis=-1).astype(jnp.float32), (7, 7))
+    B = x.shape[0]
+    return xa, ce, t.astype(x.dtype), pooled.reshape(B, 49, C + Ce)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19))
+def fused_gaa_front(x, x_e, ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b, conv_w,
+                    conv_b, a_w, a_b, ef_w, ef_b, econv_w, econv_b, eb_w,
+                    eb_b, eps: float = 1e-6, interpret: bool = False):
+    """Fused GAA-front: returns (xa=q*a, ce=cut*eb, t, pooled[B,49,1.5C]).
+
+    Normalization note: the kernel accumulates SUMS weighted by the exact
+    adaptive-pool averaging matrices, so `pooled` equals
+    adaptive_avg_pool2d(concat(ln_x, ln_e)) exactly."""
+    return _gaa_front_pallas(
+        x, x_e, (ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b, conv_w, conv_b,
+                 a_w, a_b, ef_w, ef_b, econv_w, econv_b, eb_w, eb_b),
+        eps, interpret)
+
+
+def _gaa_front_pallas(x, x_e, params, eps, interpret):
+
+    (ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b, conv_w, conv_b, a_w, a_b,
+     ef_w, ef_b, econv_w, econv_b, eb_w, eb_b) = params
+    B, H, W, C = x.shape
+    Ce = x_e.shape[-1]
+    halo = _HALO
+    WP = _round8(W + 2 * halo)
+    CP, CeP = _round128(C), _round128(Ce)
+    Th = _pick_row_tile(H, W, C, Ce)
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (halo, WP - W - halo),
+                     (0, CP - C)))
+    ep = jnp.pad(x_e, ((0, 0), (halo, halo), (halo, WP - W - halo),
+                       (0, CeP - Ce)))
+    kern = functools.partial(_gaa_front_kernel, Th=Th, H=H, W=W, WP=WP, C=C,
+                             Ce=Ce, eps=eps)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xa, ce, t, pooled = pl.pallas_call(
+        kern,
+        grid=(B, H // Th),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + [vmem] * 16,
+        out_specs=(
+            pl.BlockSpec((1, Th, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Th, W, Ce), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Th, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 7, C + Ce), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, H, W, Ce), x.dtype),
+                   jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, 8, 7, C + Ce), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((Th + 2 * halo, WP, CP), x.dtype),
+            pltpu.VMEM((Th + 2 * halo, WP, CeP), x.dtype),
+            pltpu.VMEM((Th + 2 * halo, WP, C), jnp.float32),
+            pltpu.VMEM((Th + 2 * halo, WP, Ce), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * C * 6,
+            bytes_accessed=(x.size + x_e.size) * x.dtype.itemsize * 3,
+            transcendentals=B * H * W * C),
+        interpret=interpret,
+    )(xp, ep, ln_w, ln_b, lne_w, lne_b, qcl_w, qcl_b, conv_w, conv_b,
+      a_w, a_b, ef_w, ef_b, econv_w, econv_b, eb_w, eb_b)
+    # [B, 8(pr), 7(pc), CC] -> [B, 49, CC] dropping the pr=7 pad bucket
+    return xa, ce, t, pooled[:, :7].reshape(B, 49, C + Ce)
+
+
+def _gaa_fwd(*args):
+    x, x_e = args[0], args[1]
+    params = args[2:18]
+    eps, interpret = args[18], args[19]
+    out = _gaa_front_pallas(x, x_e, params, eps, interpret)
+    return out, (x, x_e) + tuple(params)
+
+
+def _gaa_bwd(eps, interpret, res, g):
+    x, x_e = res[0], res[1]
+    params = res[2:]
+    _, vjp = jax.vjp(
+        lambda *a: fused_gaa_front_reference(*a, eps=eps), x, x_e, *params)
+    return vjp(g)
+
+
+fused_gaa_front.defvjp(_gaa_fwd, _gaa_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(26, 27))
 def fused_local_attention(x, x_e, ln_w, ln_b, lne_w, lne_b, q_w, q_b, qcut_w,
                           qcut_b, l_w, l_b, conv_w, conv_b, a_w, a_b, ef_w,

@@ -121,7 +121,7 @@ class Attention(fnn.Module):
         dt = self.dtype or x.dtype
 
         if (self.use_pallas and self.window == 0 and not self.drop_depth
-                and not self.is_initializing()):
+                and FUSE_ATTENTION and not self.is_initializing()):
             from dformer_tpu.kernels.fused_attention import \
                 fused_local_attention
 
@@ -140,15 +140,72 @@ class Attention(fnn.Module):
                 g(self.proj), self.proj.bias,
                 g(self.proj_e), self.proj_e.bias)
 
+        if (self.use_pallas and self.window != 0 and FUSE_GAA
+                and not self.is_initializing()):
+            # GAA blocks: fused front kernel (LN/q/cut/l/gelu/dwconvs/
+            # gatings + pooled queries), then the small global attention and
+            # projections in XLA. Pays off at the latency-bound deep stages.
+            from dformer_tpu.kernels.fused_attention import fused_gaa_front
+
+            qcl_w = jnp.concatenate(
+                [self.q.kernel, self.q_cut.kernel, self.l.kernel],
+                axis=1).astype(dt)
+            qcl_b = jnp.concatenate(
+                [self.q.bias, self.q_cut.bias, self.l.bias])
+            xa, ce, t, pooled = fused_gaa_front(
+                x.astype(dt), x_e.astype(dt),
+                self.norm.weight, self.norm.bias,
+                self.norm_e.weight, self.norm_e.bias, qcl_w, qcl_b,
+                self.conv.kernel[:, :, 0, :].astype(dt), self.conv.bias,
+                self.a.kernel.astype(dt), self.a.bias,
+                self.e_fore.kernel.astype(dt), self.e_fore.bias,
+                self.e_conv.kernel[:, :, 0, :].astype(dt), self.e_conv.bias,
+                self.e_back.kernel.astype(dt), self.e_back.bias)
+            kv = self.kv(t, dtype=dt).reshape(B, H * W, 2, nh, hd)
+            k = kv[:, :, 0].transpose(0, 2, 1, 3)
+            v = kv[:, :, 1].transpose(0, 2, 1, 3)
+            m = self.short_cut_linear(pooled.astype(dt), dtype=dt)
+            m = m.reshape(B, 49, nh, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum(
+                "bnqd,bnkd->bnqk", (m * hd ** -0.5).astype(jnp.float32),
+                k.astype(jnp.float32))
+            attn = jax.nn.softmax(logits, axis=-1)
+            gaa = jnp.einsum("bnqk,bnkd->bnqd", attn.astype(v.dtype), v)
+            gaa = gaa.transpose(0, 2, 1, 3).reshape(
+                B, self.window, self.window, C // 2)
+            gaa = resize_bilinear(gaa, (H, W), align_corners=False)
+            cat = jnp.concatenate([xa, gaa, ce], axis=-1)
+            if not self.drop_depth:
+                pw = jnp.concatenate([self.proj.kernel, self.proj_e.kernel],
+                                     axis=1).astype(dt)
+                pb = jnp.concatenate([self.proj.bias, self.proj_e.bias]) \
+                    .astype(dt)
+                out = cat.astype(dt) @ pw + pb
+                return out[..., :C], out[..., C:]
+            # drop_depth: returned x_e is the unprojected gating tensor
+            # (reference DFormer.py:141-145); recover it from ce/cut is not
+            # needed — the caller discards it. Return eb-gated product's
+            # second factor is unavailable; hand back ce (unused downstream).
+            return self.proj(cat, dtype=dt), ce
+
         x = self.norm(x)
         x_e = self.norm_e(x_e)
 
         if self.window != 0:
             short_cut = jnp.concatenate([x, x_e], axis=-1)
 
-        q = self.q(x, dtype=dt)
-        cutted_x = self.q_cut(x, dtype=dt)
-        t = gelu(self.l(x, dtype=dt))
+        # q / q_cut / l all read LN(x): one fused [C, 2.5C] matmul instead
+        # of three kernels (per-op latency dominates at the small stage
+        # shapes; weight concat is hoisted/fused by XLA)
+        qcl_w = jnp.concatenate(
+            [self.q.kernel, self.q_cut.kernel, self.l.kernel],
+            axis=1).astype(dt)
+        qcl_b = jnp.concatenate(
+            [self.q.bias, self.q_cut.bias, self.l.bias]).astype(dt)
+        qcl = x.astype(dt) @ qcl_w + qcl_b
+        q = qcl[..., :C]
+        cutted_x = qcl[..., C:C + C // 2]
+        t = gelu(qcl[..., C + C // 2:])
         a = self.a(self.conv(t, dtype=dt), dtype=dt)
 
         if self.window != 0:
@@ -181,12 +238,22 @@ class Attention(fnn.Module):
         else:
             x = jnp.concatenate([x, cutted_x], axis=-1)
         if not self.drop_depth:
-            x_e = self.proj_e(x, dtype=dt)
+            # proj and proj_e share the concat input: one fused matmul
+            pw = jnp.concatenate([self.proj.kernel, self.proj_e.kernel],
+                                 axis=1).astype(dt)
+            pb = jnp.concatenate([self.proj.bias, self.proj_e.bias]).astype(dt)
+            out = x.astype(dt) @ pw + pb
+            return out[..., :C], out[..., C:]
         x = self.proj(x, dtype=dt)
         return x, x_e
 
 
-FUSE_ATTENTION = False  # see Block.__call__
+# Attention-kernel gates: both fused attention variants are numerically
+# verified (tests/test_kernels.py) but measured at/below parity with XLA's
+# schedule on v5e (the t-output round trip and small row tiles eat the
+# fusion savings), unlike the fused MLP which wins 2x. Keep them opt-in.
+FUSE_ATTENTION = False
+FUSE_GAA = False
 
 
 def _layer_scale_init(value):
@@ -215,14 +282,9 @@ class Block(fnn.Module):
         drop = DropPath(self.drop_prob, name="drop_path")
 
         res_x, res_e = x, x_e
-        # Fused-attention kernel measured at parity with XLA's schedule for
-        # this op mix (2.9ms/block either way on v5e) — keep it opt-in via
-        # FUSE_ATTENTION until it wins; the fused MLP is the one that pays
-        # (2x on stage 0).
         x, x_e = Attention(self.dim, self.num_head, self.window,
                            self.drop_depth, dtype=self.dtype,
-                           use_pallas=self.use_pallas and FUSE_ATTENTION,
-                           name="attn")(x, x_e)
+                           use_pallas=self.use_pallas, name="attn")(x, x_e)
         x = res_x + drop(ls1.astype(x.dtype) * x, deterministic)
         x = x + drop(ls2.astype(x.dtype) *
                      MLPBlock(self.dim, self.mlp_ratio, dtype=self.dtype,

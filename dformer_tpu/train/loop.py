@@ -113,6 +113,7 @@ class Trainer:
                 jnp.asarray([0.28, 0.28, 0.28], jnp.float32)
                 if cfg.x_is_single_channel
                 else jnp.asarray(cfg.norm_std, jnp.float32),
+                true_hw=(jnp.asarray(batch["hw"]) if "hw" in batch else None),
             )
             self.state, loss = self.step_fn(self.state, rgb, gt, modal_x,
                                             self.rng)

@@ -91,6 +91,37 @@ def test_fused_attention_grad_matches_reference():
                                    rtol=1e-4)
 
 
+def test_fused_gaa_front_interpret_matches_reference():
+    from dformer_tpu.kernels.fused_attention import (
+        fused_gaa_front, fused_gaa_front_reference)
+
+    B, H, W, C = 2, 12, 16, 16
+    Ce = C // 2
+    x = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    e = jnp.asarray(RNG.randn(B, H, W, Ce).astype(np.float32))
+    shapes = [(C,), (C,), (Ce,), (Ce,), (C, 2 * C + Ce), (2 * C + Ce,),
+              (7, 7, C), (C,), (C, C), (C,), (Ce, Ce), (Ce,), (7, 7, Ce),
+              (Ce,), (Ce, Ce), (Ce,)]
+    ps = [jnp.asarray((RNG.randn(*s) * 0.2).astype(np.float32))
+          for s in shapes]
+    want = fused_gaa_front_reference(x, e, *ps)
+    got = fused_gaa_front(x, e, *ps, 1e-6, True)
+    for name, g, w in zip(("xa", "ce", "t", "pooled"), got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5,
+                                   rtol=1e-4, err_msg=name)
+
+    def loss(fn):
+        return lambda x, e: sum(jnp.sum(o) for o in fn(x, e))
+
+    gk = jax.grad(loss(lambda x, e: fused_gaa_front(x, e, *ps, 1e-6, True)),
+                  argnums=(0, 1))(x, e)
+    gr = jax.grad(loss(lambda x, e: fused_gaa_front_reference(x, e, *ps)),
+                  argnums=(0, 1))(x, e)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)
+
+
 def test_mlpblock_pallas_path_matches_standard():
     """MLPBlock(use_pallas) vs standard path with the SAME params."""
     from dformer_tpu.models.encoder import MLPBlock
