@@ -3,6 +3,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement: iterations are CHAINED (each forward consumes a value derived
+from the previous output) and the timer ends on a host fetch of a scalar
+reduced from the last output. On this environment's remote-tunnel runtime,
+`block_until_ready` on independently dispatched calls returns early, which
+inflates naive loop timings ~2x; the chain + scalar-fetch scheme bounds true
+device time from above.
+
 Baseline: the reference publishes no A100 throughput (BASELINE.md — harness
 only). We use an estimated 60 img/s for DFormer-L bs>1 fp16 480x640 on one
 A100 with the reference's PyTorch stack as the comparison point; the >3x
@@ -27,25 +34,31 @@ def main():
 
     @jax.jit
     def forward(rgb, modal_x):
-        return model.apply(variables, rgb, modal_x, train=False,
-                           deterministic_bases=True)
+        out = model.apply(variables, rgb, modal_x, train=False,
+                          deterministic_bases=True)
+        # tiny feedback value to chain iterations + cheap scalar to fetch
+        return out, jnp.mean(out[..., 0]).astype(jnp.float32)
 
     rng = np.random.RandomState(0)
     rgb = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
     modal = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
 
-    # warmup (compile + 5 reps, reference latency.py uses 100 warmup)
-    forward(rgb, modal).block_until_ready()
-    for _ in range(5):
-        forward(rgb, modal).block_until_ready()
+    # warmup (compile + a few reps)
+    _, s = forward(rgb, modal)
+    float(s)
+    for _ in range(3):
+        _, s = forward(rgb, modal)
+    float(s)
 
     reps = 30
+    r = rgb
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = forward(rgb, modal)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    ips = batch * reps / dt
+        out, s = forward(r, modal)
+        r = rgb + 0.0 * s  # chain: next input depends on previous output
+    _ = float(s)  # scalar fetch forces the whole chain to completion
+    dt = (time.perf_counter() - t0) / reps
+    ips = batch / dt
 
     baseline_a100_ips = 60.0
     print(json.dumps({

@@ -57,16 +57,14 @@ def make_train_step(model, tx, cfg, mesh=None):
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), loss
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
-    bsh = batch_sharding(mesh)
-    rep = replicated(mesh)
-    return jax.jit(
-        step_fn,
-        in_shardings=(rep, bsh, bsh, bsh, rep),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    # Plain jit: shardings are inferred from the committed inputs (state
+    # device_put replicated once, batches device_put batch-sharded by the
+    # caller / shard_batch) and GSPMD propagates them. Explicit
+    # in_shardings/out_shardings on jit force a reshard of the whole state
+    # every step — measured at 39 s/step through the axon host tunnel vs
+    # 300 ms for inferred shardings on the same mesh.
+    del mesh
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 class Trainer:
@@ -76,13 +74,16 @@ class Trainer:
     def __init__(self, model, state: TrainState, tx, cfg, mesh=None,
                  logger=None, seed: int = 8964):
         self.model = model
-        self.state = state
         self.cfg = cfg
         self.mesh = mesh
         self.logger = logger
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(model, tx, cfg, mesh)
-        self._aug = None
+        # commit the state replicated over the mesh once; batches are
+        # committed batch-sharded per step — jit infers the DP shardings
+        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            state = jax.device_put(state, replicated(mesh))
+        self.state = state
 
     def log(self, msg):
         if self.logger:
@@ -98,11 +99,19 @@ class Trainer:
         losses = []
         t0 = time.time()
         n = len(loader)
+        multi = self.mesh is not None and \
+            np.prod(list(self.mesh.shape.values())) > 1
         for it, batch in enumerate(loader):
             key = jax.random.fold_in(self.rng, epoch * 100003 + it)
+            if multi:
+                sh = batch_sharding(self.mesh)
+                arrs = {k: jax.device_put(batch[k], sh)
+                        for k in ("rgb", "gt", "modal_x")}
+            else:
+                arrs = {k: jnp.asarray(batch[k])
+                        for k in ("rgb", "gt", "modal_x")}
             rgb, gt, modal_x = device_train_augment(
-                jnp.asarray(batch["rgb"]), jnp.asarray(batch["gt"]),
-                jnp.asarray(batch["modal_x"]), key,
+                arrs["rgb"], arrs["gt"], arrs["modal_x"], key,
                 (cfg.image_height, cfg.image_width),
                 tuple(cfg.train_scale_array),
                 jnp.asarray(cfg.norm_mean, jnp.float32),

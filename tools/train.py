@@ -46,10 +46,16 @@ def main():
     ap.add_argument("--synthetic-data", action="store_true",
                     help="random tensors instead of datasets on disk")
     ap.add_argument("--val_batch_size", type=int, default=4)
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="raise on NaN (the TPU analog of the reference's "
+                         "determinism/sanitizer knobs, SURVEY.md §5.2)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from dformer_tpu.config import load_config
     from dformer_tpu.data.loader import train_batches, val_batches
