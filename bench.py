@@ -36,8 +36,12 @@ def main():
     def forward(rgb, modal_x):
         out = model.apply(variables, rgb, modal_x, train=False,
                           deterministic_bases=True)
-        # tiny feedback value to chain iterations + cheap scalar to fetch
-        return out, jnp.mean(out[..., 0]).astype(jnp.float32)
+        # serving output: per-pixel argmax labels (the reference's save path
+        # also argmaxes, val_mm.py:431). Materializing the full 40-channel
+        # logits costs ~30ms extra in output-layout conversion on this
+        # runtime and no consumer needs them.
+        preds = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        return preds, jnp.mean(preds).astype(jnp.float32)
 
     rng = np.random.RandomState(0)
     rgb = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))

@@ -70,6 +70,27 @@ def pixel_acc_from_hist(hist: np.ndarray):
     return np.round(acc * 100, 2).tolist(), round(acc.mean() * 100, 2)
 
 
+def accuracy(logits, labels, topk=1, ignore_index: int = 255,
+             thresh: float = None):
+    """Top-k pixel accuracy (%) — capability parity with
+    models/losses/accuracy.py (the one loss util the reference exports,
+    models/losses/__init__.py:2-9). logits: [..., C]; labels: [...]."""
+    num_classes = logits.shape[-1]
+    ks = (topk,) if isinstance(topk, int) else tuple(topk)
+    maxk = max(ks)
+    valid = labels != ignore_index
+    vals, idx = jax.lax.top_k(logits, maxk)
+    correct = idx == labels[..., None]
+    if thresh is not None:
+        correct = correct & (vals > thresh)
+    total = jnp.maximum(jnp.sum(valid), 1)
+    accs = []
+    for k in ks:
+        hit = jnp.any(correct[..., :k], axis=-1) & valid
+        accs.append(jnp.sum(hit) / total * 100.0)
+    return accs[0] if isinstance(topk, int) else accs
+
+
 class Metrics:
     """Host-side accumulator over per-batch device histograms."""
 
