@@ -3,23 +3,49 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measurement: iterations are CHAINED (each forward consumes a value derived
-from the previous output) and the timer ends on a host fetch of a scalar
-reduced from the last output. On this environment's remote-tunnel runtime,
-`block_until_ready` on independently dispatched calls returns early, which
-inflates naive loop timings ~2x; the chain + scalar-fetch scheme bounds true
-device time from above.
+Measurement: the jitted forward runs under a jax.profiler trace and the
+throughput is computed from the DEVICE-plane execution time of the jitted
+computation (summed xplane durations / iterations). Wall-clock loops are
+unreliable on this environment's remote-tunnel runtime: block_until_ready
+can return before queued work completes (reads fast), while host-side
+chaining serializes eager dispatches (reads slow). The device plane is
+ground truth. Falls back to naive wall timing if the xplane proto parser
+is unavailable.
 
 Baseline: the reference publishes no A100 throughput (BASELINE.md — harness
 only). We use an estimated 60 img/s for DFormer-L bs>1 fp16 480x640 on one
-A100 with the reference's PyTorch stack as the comparison point; the >3x
-goal in BASELINE.json therefore corresponds to vs_baseline >= 3.0.
+A100 with the reference's PyTorch stack; the >3x goal in BASELINE.json
+corresponds to vs_baseline >= 3.0.
 """
 
+import glob
 import json
+import tempfile
 import time
 
 import numpy as np
+
+
+def _device_ms_from_xplane(logdir: str, prefix: str = "jit_"):
+    """Sum device-plane durations of jitted computations, in ms."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
+
+    files = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
+    if not files:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(files[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    total = 0.0
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id]
+                if md.name.startswith(prefix):
+                    total += ev.duration_ps / 1e9
+    return total or None
 
 
 def main():
@@ -29,6 +55,7 @@ def main():
     from __graft_entry__ import _build
 
     batch = 8
+    reps = 20
     _, model, variables = _build("DFormer-Large", (480, 640), 40,
                                  dtype=jnp.bfloat16)
 
@@ -36,33 +63,31 @@ def main():
     def forward(rgb, modal_x):
         out = model.apply(variables, rgb, modal_x, train=False,
                           deterministic_bases=True)
-        # serving output: per-pixel argmax labels (the reference's save path
-        # also argmaxes, val_mm.py:431). Materializing the full 40-channel
-        # logits costs ~30ms extra in output-layout conversion on this
-        # runtime and no consumer needs them.
-        preds = jnp.argmax(out, axis=-1).astype(jnp.int32)
-        return preds, jnp.mean(preds).astype(jnp.float32)
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
     rng = np.random.RandomState(0)
     rgb = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
     modal = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
 
-    # warmup (compile + a few reps)
-    _, s = forward(rgb, modal)
-    float(s)
+    jax.block_until_ready(forward(rgb, modal))  # compile
     for _ in range(3):
-        _, s = forward(rgb, modal)
-    float(s)
+        jax.block_until_ready(forward(rgb, modal))
 
-    reps = 30
-    r = rgb
+    logdir = tempfile.mkdtemp(prefix="bench_xplane_")
     t0 = time.perf_counter()
+    jax.profiler.start_trace(logdir)
     for _ in range(reps):
-        out, s = forward(r, modal)
-        r = rgb + 0.0 * s  # chain: next input depends on previous output
-    _ = float(s)  # scalar fetch forces the whole chain to completion
-    dt = (time.perf_counter() - t0) / reps
-    ips = batch / dt
+        out = forward(rgb, modal)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    wall_ms = (time.perf_counter() - t0) * 1000
+
+    try:
+        dev_ms = _device_ms_from_xplane(logdir)
+    except Exception:
+        dev_ms = None
+    per_iter_ms = (dev_ms / reps) if dev_ms else (wall_ms / reps)
+    ips = batch / (per_iter_ms / 1000.0)
 
     baseline_a100_ips = 60.0
     print(json.dumps({
