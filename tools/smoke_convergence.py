@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-to-end learning smoke: train DFormer-Tiny on a learnable synthetic
+task (labels = quantized smooth field, rgb/depth derived from the field) and
+verify held-out mIoU far above chance. Validates the full gradient/optimizer/
+BN-stat path semantically, without datasets on disk.
+
+Measured on v5e: 600 steps ≈ 40s, final mIoU ≈ 87 (chance = 25)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_batch(rng, B=8, hw=(64, 96), num_classes=4):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    base = rng.rand(B, 8, 12, 1).astype(np.float32)
+    field = np.asarray(jax.image.resize(jnp.asarray(base),
+                                        (B, hw[0], hw[1], 1), "linear"))
+    rgb = np.concatenate([field, 1 - field, 0.5 + 0 * field], -1) \
+        + 0.05 * rng.randn(B, hw[0], hw[1], 3).astype(np.float32)
+    gt = np.clip((field[..., 0] * num_classes).astype(np.int32), 0,
+                 num_classes - 1)
+    depth = np.repeat(field, 3, axis=-1).astype(np.float32)
+    return (jnp.asarray(rgb.astype(np.float32)), jnp.asarray(gt),
+            jnp.asarray(depth))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--min_miou", type=float, default=60.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dformer_tpu.config import load_config
+    from dformer_tpu.models import build_model
+    from dformer_tpu.ops.metrics import Metrics
+    from dformer_tpu.train.loop import TrainState, make_train_step
+    from dformer_tpu.train.optim import make_optimizer
+
+    cfg = load_config("local_configs.NYUDepthv2.DFormer_Tiny")
+    cfg.num_classes = 4
+    cfg.image_height, cfg.image_width = 64, 96
+    cfg.nepochs, cfg.niters_per_epoch, cfg.warm_up_epoch = 10, 60, 1
+    cfg.lr = 3e-4
+
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 96, 3)),
+                                    jnp.zeros((1, 64, 96, 3)))
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState(step=jnp.asarray(0), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, cfg, None)
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for it in range(args.steps):
+        rgb, gt, depth = make_batch(rng)
+        state, loss = step(state, rgb, gt, depth, key)
+        if it % 100 == 0:
+            print(f"it {it} loss {float(loss):.4f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd(r, m):
+        return model.apply(eval_vars, r, m, train=False,
+                           deterministic_bases=True)
+
+    metrics = Metrics(4, 255)
+    erng = np.random.RandomState(123)
+    for _ in range(10):
+        rgb, gt, depth = make_batch(erng)
+        metrics.update(fwd(rgb, depth), gt)
+    ious, miou = metrics.compute_iou()
+    print(f"final loss {float(loss):.4f}  held-out mIoU {miou} "
+          f"(chance 25.0)  per-class {ious}")
+    assert miou >= args.min_miou, f"mIoU {miou} < {args.min_miou}"
+    print("CONVERGENCE SMOKE: PASS")
+
+
+if __name__ == "__main__":
+    main()
