@@ -187,9 +187,11 @@ class NativeBatchLoader:
                        fn=[str(i) for i in idx[k * B:(k + 1) * B]])
 
 
-def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False):
+def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False,
+                  native: bool = False):
     """Factory mirroring get_train_loader (dataloader.py:126-177): epoch
-    length = batch_size * niters_per_epoch via oversampling."""
+    length = batch_size * niters_per_epoch via oversampling. native=True
+    uses the C++ decode pool (fixed-canvas datasets only)."""
     from dformer_tpu.data.datasets import RGBXDataset, SyntheticRGBXDataset
 
     file_length = cfg.batch_size * cfg.niters_per_epoch
@@ -200,6 +202,14 @@ def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False):
     else:
         ds = (dataset_cls or RGBXDataset)(_data_setting(cfg), "train",
                                           file_length=file_length)
+        if native:
+            from dformer_tpu.data import native_loader
+
+            if native_loader.available():
+                return NativeBatchLoader(
+                    ds, cfg.batch_size,
+                    (cfg.image_height, cfg.image_width), shuffle=True,
+                    drop_last=True, seed=cfg.get("seed", 0), shard=shard)
     return Loader(ds, cfg.batch_size, shuffle=True, drop_last=True,
                   seed=cfg.get("seed", 0), shard=shard)
 

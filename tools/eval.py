@@ -89,6 +89,7 @@ def main():
                                 save_hook=save_hook)
         else:
             m = ev.evaluate(batches, save_hook=save_hook)
+        m.merge_across_processes()
         ious, miou = m.compute_iou()
         accs, macc = m.compute_pixel_acc()
         f1s, mf1 = m.compute_f1()

@@ -45,6 +45,8 @@ def main():
                     help="override cfg.nepochs")
     ap.add_argument("--synthetic-data", action="store_true",
                     help="random tensors instead of datasets on disk")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="C++ decode pool for fixed-canvas datasets")
     ap.add_argument("--val_batch_size", type=int, default=4)
     ap.add_argument("--debug_nans", action="store_true",
                     help="raise on NaN (the TPU analog of the reference's "
@@ -124,7 +126,8 @@ def main():
         trainer = Trainer(model, state, tx, cfg, mesh=mesh, logger=log,
                           seed=engine.seed)
         train_loader = train_batches(cfg, shard=engine.data_shard(),
-                                     synthetic=args.synthetic_data)
+                                     synthetic=args.synthetic_data,
+                                     native=args.native_loader)
         best_miou = 0.0
         for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
