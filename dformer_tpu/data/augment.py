@@ -153,14 +153,16 @@ def device_train_augment(rgb, gt, modal_x, key, out_hw: Tuple[int, int],
         tw = true_hw[:, 1].astype(jnp.float32)
 
     # crop origin in scaled space (generate_random_crop_pos semantics):
-    # uniform in [0, max(scaled - crop, 0)]; when scaled < crop, the
+    # python random.randint(0, excess+1) is INCLUSIVE both ends, so the
+    # reference draws from [0, excess+1] — the extra position yields a 1px
+    # bottom/right pad row (transforms.py:53-57). When scaled <= crop, the
     # reference center-pads — origin = -(pad_top).
     u = jax.random.uniform(k_crop, (B, 2))
     sh, sw = jnp.floor(th * scale), jnp.floor(tw * scale)
 
     def origin(scaled, crop, uu):
         excess = scaled - crop
-        rand_o = jnp.floor(uu * jnp.maximum(excess + 1.0, 1.0))
+        rand_o = jnp.minimum(jnp.floor(uu * (excess + 2.0)), excess + 1.0)
         pad_o = jnp.ceil(excess / 2.0)  # negative when padding
         return jnp.where(excess > 0, rand_o, pad_o)
 

@@ -1,9 +1,12 @@
 """Host-side datasets: file decode only (augmentation runs on device).
 
 RGBXDataset mirrors the reference reader semantics
-(utils/dataloader/RGBXDataset.py:10-140): txt-split driven, cv2 BGR->RGB,
-grayscale GT with optional label-0-invalid shift, single-channel X replicated
-to 3 channels, and epoch-length oversampling via _construct_new_file_names.
+(utils/dataloader/RGBXDataset.py:10-140): txt-split driven, cv2-native BGR
+pixel order (the reference passes cv2.COLOR_BGR2RGB=4 as an *imread flag* —
+IMREAD_ANYCOLOR — so it never actually converts; its checkpoints were trained
+on BGR and we must feed them BGR too), grayscale GT with optional
+label-0-invalid shift, single-channel X replicated to 3 channels, and
+epoch-length oversampling via _construct_new_file_names.
 Outputs are raw uint8 HWC numpy arrays; normalization/augment happen in the
 jitted device pipeline (data/augment.py).
 """
@@ -18,12 +21,13 @@ import numpy as np
 def _imread(path, gray=False):
     import cv2
 
+    # Reference parity: RGBXDataset._open_image(rgb_path, cv2.COLOR_BGR2RGB)
+    # passes the colorspace constant (4) as an imread FLAG (IMREAD_ANYCOLOR),
+    # so reference pixels are cv2-native BGR. Keep BGR — no cvtColor.
     mode = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
     img = cv2.imread(path, mode)
     if img is None:
         raise FileNotFoundError(path)
-    if not gray:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     return img
 
 

@@ -6,7 +6,7 @@ loader when the toolchain or image libs are missing.
 Usage:
     nl = NativeLoader(num_threads=4)
     batch = np.empty((B, H, W, 3), np.uint8)
-    ticket = nl.submit([paths...], batch, want_rgb=True)   # async decode
+    ticket = nl.submit([paths...], batch, want_color=True)   # async decode
     nl.wait(ticket)                                        # batch is filled
 """
 
@@ -95,7 +95,7 @@ class NativeLoader:
             self._lib.dfl_destroy(self._h)
             self._h = None
 
-    def decode(self, path: str, want_rgb: bool = True) -> np.ndarray:
+    def decode(self, path: str, want_color: bool = True) -> np.ndarray:
         """Synchronous single-image decode (native-sized)."""
         cap = 8192 * 8192 * 3
         buf = np.empty((cap,), np.uint8)
@@ -103,7 +103,7 @@ class NativeLoader:
         w = ctypes.c_int()
         c = ctypes.c_int()
         rc = self._lib.dfl_decode_image(
-            path.encode(), int(want_rgb),
+            path.encode(), int(want_color),
             buf.ctypes.data_as(ctypes.c_void_p), cap,
             ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
         if rc != 0:
@@ -112,7 +112,7 @@ class NativeLoader:
             h.value, w.value, c.value).copy()
 
     def submit(self, paths: Sequence[str], out: np.ndarray,
-               want_rgb: bool = True) -> int:
+               want_color: bool = True) -> int:
         """Async: decode len(paths) fixed-size images into out[i]."""
         assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
         n = len(paths)
@@ -121,7 +121,7 @@ class NativeLoader:
         assert n <= B
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         return self._lib.dfl_submit_batch(
-            self._h, arr, n, int(want_rgb), H, W, C,
+            self._h, arr, n, int(want_color), H, W, C,
             out.ctypes.data_as(ctypes.c_void_p))
 
     def wait(self, ticket: int) -> None:

@@ -36,12 +36,14 @@ def read_lidar(path: str) -> np.ndarray:
 
 
 def _imread_rgb(path):
+    # cv2-native BGR order: the reference's _open_image passes COLOR_BGR2RGB
+    # as an imread flag (no-op conversion), so its models see BGR pixels.
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
 
 
 class TravRGBDDataset:

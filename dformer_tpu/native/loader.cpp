@@ -49,7 +49,18 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(e->jb, 1);
 }
 
-// Decode a JPEG file to tightly packed RGB (or grayscale) uint8.
+// Color decodes emit cv2-native BGR channel order: the reference pipeline
+// reads with cv2.imread and never converts (its COLOR_BGR2RGB argument is
+// consumed as an imread flag), so reference checkpoints expect BGR pixels.
+void swap_rb(uint8_t* buf, long npix) {
+    for (long i = 0; i < npix; i++) {
+        uint8_t t = buf[3 * i];
+        buf[3 * i] = buf[3 * i + 2];
+        buf[3 * i + 2] = t;
+    }
+}
+
+// Decode a JPEG file to tightly packed BGR (or grayscale) uint8.
 // Returns 0 on success.
 int decode_jpeg(const char* path, bool want_rgb, uint8_t* out, long cap,
                 int* h, int* w, int* c) {
@@ -67,7 +78,13 @@ int decode_jpeg(const char* path, bool want_rgb, uint8_t* out, long cap,
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
+#ifdef JCS_EXTENSIONS
+    cinfo.out_color_space = want_rgb ? JCS_EXT_BGR : JCS_GRAYSCALE;
+    const bool need_swap = false;
+#else
     cinfo.out_color_space = want_rgb ? JCS_RGB : JCS_GRAYSCALE;
+    const bool need_swap = want_rgb;
+#endif
     jpeg_start_decompress(&cinfo);
     const int H = cinfo.output_height, W = cinfo.output_width,
               C = cinfo.output_components;
@@ -83,11 +100,12 @@ int decode_jpeg(const char* path, bool want_rgb, uint8_t* out, long cap,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
+    if (need_swap && C == 3) swap_rb(out, (long)H * W);
     *h = H; *w = W; *c = C;
     return 0;
 }
 
-// Decode a PNG file to packed uint8 (RGB or grayscale, 8-bit).
+// Decode a PNG file to packed uint8 (BGR or grayscale, 8-bit).
 int decode_png(const char* path, bool want_rgb, uint8_t* out, long cap,
                int* h, int* w, int* c) {
     FILE* f = fopen(path, "rb");
@@ -107,6 +125,7 @@ int decode_png(const char* path, bool want_rgb, uint8_t* out, long cap,
     png_set_palette_to_rgb(png);
     if (want_rgb) {
         png_set_gray_to_rgb(png);
+        png_set_bgr(png);
     } else {
         if (png_get_color_type(png, info) & PNG_COLOR_MASK_COLOR)
             png_set_rgb_to_gray_fixed(png, 1, -1, -1);
