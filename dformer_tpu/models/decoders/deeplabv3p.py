@@ -84,11 +84,18 @@ class DeepLabV3Plus(fnn.Module):
         x = self._cbn(self.aspp_channels, 1, 1, "aspp_project")(x, train)
         x = Dropout(0.5, name="aspp_dropout")(x, deterministic=not train)
 
-        # low-level branch + fuse
-        low = self._cbn(48, 3, 1, "low_level")(c1, train)
+        # low-level branch + fuse: plain (biased) nn.Conv2d in the reference
+        # (deeplabv3plus.py:12-21), unlike the bias=False ASPP convs
+        low = _ConvBN(48, 3, 1, use_bias=True, bn_eps=self.bn_eps,
+                      bn_momentum=self.bn_momentum,
+                      bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                      name="low_level")(c1, train)
         x = resize_bilinear(x, low.shape[1:3], align_corners=True)
         x = jnp.concatenate([x, low], axis=-1)
-        x = self._cbn(256, 3, 1, "block_conv")(x, train)
+        x = _ConvBN(256, 3, 1, use_bias=True, bn_eps=self.bn_eps,
+                    bn_momentum=self.bn_momentum,
+                    bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                    name="block_conv")(x, train)
         x = Dropout(0.1, name="block_dropout")(x, deterministic=not train)
         x = Conv(self.num_classes, (1, 1), (1, 1), (0, 0), dtype=self.dtype,
                  name="block_pred")(x)

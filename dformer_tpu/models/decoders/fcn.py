@@ -23,8 +23,10 @@ class FCNHead(fnn.Module):
         if isinstance(x, (list, tuple)):
             x = x[-1]
         channels = self.channels or x.shape[-1] // 4
-        x = ConvBNReLU(channels, self.kernel_size, bn_eps=self.bn_eps,
-                       bn_momentum=self.bn_momentum,
+        # plain nn.Conv2d in the reference Sequential -> biased conv even
+        # before BN (fcnhead.py:18-22)
+        x = ConvBNReLU(channels, self.kernel_size, conv_bias=True,
+                       bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
                        axis_name=self.bn_axis_name, dtype=self.dtype,
                        name="conv")(x, train)
         x = Conv(self.num_classes, (1, 1), (1, 1), (0, 0), dtype=self.dtype,

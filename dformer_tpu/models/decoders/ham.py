@@ -78,6 +78,14 @@ def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
     return jnp.einsum("bdr,bnr->bnd", bases, coef, precision=_P)
 
 
+def _uniform_bases(key, b, d, r):
+    """Fresh uniform NMF bases, L2-normalized over the channel dim
+    (reference NMF2D._build_bases, ham_head.py:109-117). Module-level so
+    parity tests can inject the exact basis the torch oracle uses."""
+    bases = jax.random.uniform(key, (b, d, r), jnp.float32)
+    return bases / jnp.linalg.norm(bases, axis=1, keepdims=True)
+
+
 class Hamburger(fnn.Module):
     """ham_in (1x1, no norm/act) -> relu -> NMF2D -> ham_out (1x1+BN) ->
     relu(x + out) (reference ham_head.py:148-180)."""
@@ -100,9 +108,7 @@ class Hamburger(fnn.Module):
             key = jax.random.PRNGKey(0)
         else:
             key = self.make_rng("nmf")
-        bases = jax.random.uniform(key, (B, self.ham_channels, self.md_r),
-                                   jnp.float32)
-        bases = bases / jnp.linalg.norm(bases, axis=1, keepdims=True)
+        bases = _uniform_bases(key, B, self.ham_channels, self.md_r)
 
         flat = enjoy.reshape(B, H * W, self.ham_channels)
         flat = nmf2d(flat, bases, train=train)

@@ -37,7 +37,9 @@ class MLPDecoderHead(fnn.Module):
                 e = resize_bilinear(e, size, self.align_corners)
             embedded.append(e)
         x = jnp.concatenate(embedded, axis=-1)
-        x = ConvBNReLU(self.embed_dim, 1, bn_eps=self.bn_eps,
+        # plain nn.Conv2d in the reference fuse -> biased conv before BN
+        # (MLPDecoder.py:51-55)
+        x = ConvBNReLU(self.embed_dim, 1, conv_bias=True, bn_eps=self.bn_eps,
                        bn_momentum=self.bn_momentum,
                        axis_name=self.bn_axis_name, dtype=self.dtype,
                        name="linear_fuse")(x, train)

@@ -22,8 +22,10 @@ class UPerHead(fnn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def _cbr(self, features, kernel, name):
-        return ConvBNReLU(features, kernel, bn_eps=self.bn_eps,
-                          bn_momentum=self.bn_momentum,
+        # reference UPernet.py uses plain nn.Conv2d (biased) before BN in
+        # every Sequential (UPernet.py:29-56,126-133)
+        return ConvBNReLU(features, kernel, conv_bias=True,
+                          bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
                           axis_name=self.bn_axis_name, dtype=self.dtype,
                           name=name)
 

@@ -266,12 +266,19 @@ class DWConvP(fnn.Module):
 
 
 class ConvBNReLU(fnn.Module):
-    """mmcv ConvModule(conv + optional BN + optional ReLU) equivalent, 1x1/3x3."""
+    """mmcv ConvModule(conv + optional BN + optional ReLU) equivalent, 1x1/3x3.
+
+    conv_bias: None follows the ConvModule bias='auto' rule (bias iff no
+    norm). The reference's hand-rolled Sequential heads (FCN, MLPDecoder
+    fuse, UPerNet, DeepLab low-level/block) use plain nn.Conv2d which keeps
+    its bias even before BN — checkpoint-compatible heads must set
+    conv_bias=True there (the bias interacts with converted running stats)."""
 
     features: int
     kernel_size: int = 1
     with_bn: bool = True
     with_relu: bool = True
+    conv_bias: Optional[bool] = None
     bn_eps: float = 1e-3
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
@@ -280,8 +287,10 @@ class ConvBNReLU(fnn.Module):
     @fnn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel_size // 2
+        use_bias = self.conv_bias if self.conv_bias is not None \
+            else not self.with_bn
         y = Conv(self.features, (self.kernel_size, self.kernel_size), (1, 1),
-                 (pad, pad), use_bias=not self.with_bn, dtype=self.dtype,
+                 (pad, pad), use_bias=use_bias, dtype=self.dtype,
                  name="conv")(x)
         if self.with_bn:
             y = BatchNorm(eps=self.bn_eps, momentum=self.bn_momentum,

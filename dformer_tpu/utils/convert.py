@@ -130,6 +130,62 @@ def _head_key_to_path(key: str):
                 "conv" if slot == "0" else "bn", parts[-1])
     if name == "classifier":
         return ("classifier",), "conv", parts[-1]
+    # UPerHead (UPernet.py:22-56; Sequentials are [conv, bn, relu] except
+    # psp_modules which lead with the pool: [pool, conv, bn, relu])
+    if name == "psp_modules":
+        i, slot = parts[1], parts[2]
+        return ((f"ppm_{i}", "conv" if slot == "1" else "bn"),
+                "conv" if slot == "1" else "bn", parts[-1])
+    if name in ("bottleneck", "fpn_bottleneck"):
+        slot = parts[1]
+        return ((name, "conv" if slot == "0" else "bn"),
+                "conv" if slot == "0" else "bn", parts[-1])
+    if name in ("lateral_convs", "fpn_convs"):
+        i, slot = parts[1], parts[2]
+        mod = f"lateral_{i}" if name == "lateral_convs" else f"fpn_{i}"
+        return ((mod, "conv" if slot == "0" else "bn"),
+                "conv" if slot == "0" else "bn", parts[-1])
+    # DeepLabV3+ (deeplabv3plus.py:6-100); flax _ConvBN keeps the conv
+    # kernel/bias directly on the module with a nested "bn"
+    if name == "aspp":
+        sub = parts[1]
+        if sub == "project":
+            mod, slot = "aspp_project", parts[2]
+        elif sub == "b0":
+            mod, slot = "aspp_b0", parts[2]
+        elif sub in ("b1", "b2", "b3"):
+            mod, slot = f"aspp_{sub}", parts[3]  # bN.block.{0,1}
+        elif sub == "b4":
+            mod = "aspp_pool"                    # b4.gap.{1,2} (0 = pool)
+            slot = "0" if parts[3] == "1" else "1"
+        else:
+            return None
+        if slot == "0":
+            return (mod,), "conv", parts[-1]
+        return ((mod, "bn"), "bn", parts[-1])
+    if name == "low_level":
+        slot = parts[1]
+        if slot == "0":
+            return ("low_level",), "conv", parts[-1]
+        return (("low_level", "bn"), "bn", parts[-1])
+    if name == "block":
+        slot = parts[1]
+        if slot == "0":
+            return ("block_conv",), "conv", parts[-1]
+        if slot == "1":
+            return (("block_conv", "bn"), "bn", parts[-1])
+        if slot == "4":
+            return ("block_pred",), "conv", parts[-1]
+    # NLHead (nl_head.py:368-428; g/theta/phi are bias'd 1x1 ConvModules,
+    # conv_out is conv+BN)
+    if name == "nl_block":
+        sub = parts[1]
+        if sub in ("g", "theta", "phi"):
+            return (("nl_block", sub), "conv", parts[-1])
+        if sub == "conv_out":
+            inner = parts[2]
+            return (("nl_block", "conv_out", inner),
+                    "conv" if inner == "conv" else "bn", parts[-1])
     return None
 
 

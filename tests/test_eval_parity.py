@@ -137,3 +137,32 @@ def test_slide_upscales_small_inputs():
     ev = Evaluator(model, variables, cfg, sliding=True)
     m = ev.evaluate([batch])
     assert m.hist.sum() == 2 * 32 * 48
+
+
+def test_mesh_sharded_eval_matches_single_device():
+    """Evaluator(mesh=8 virtual devices) must produce the identical hist as
+    the unsharded path, including a batch that does not divide the device
+    count (padded with ignore-label gt)."""
+    from dformer_tpu.parallel.mesh import make_mesh
+
+    cfg, model, variables, batch = _setup()
+    # odd batch of 3 -> padded to 8 on the mesh
+    rng = np.random.RandomState(1)
+    batch = dict(
+        rgb=rng.rand(3, 32, 48, 3).astype(np.float32),
+        modal_x=rng.rand(3, 32, 48, 3).astype(np.float32),
+        gt=rng.randint(0, 5, (3, 32, 48)).astype(np.int32),
+    )
+    single = Evaluator(model, variables, cfg).evaluate([batch])
+    mesh = make_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+    sharded = Evaluator(model, variables, cfg, mesh=mesh).evaluate([batch])
+    np.testing.assert_array_equal(np.asarray(single.hist),
+                                  np.asarray(sharded.hist))
+
+    s_msf = Evaluator(model, variables, cfg).evaluate_msf(
+        [batch], scales=[0.75, 1.0], flip=True)
+    m_msf = Evaluator(model, variables, cfg, mesh=mesh).evaluate_msf(
+        [batch], scales=[0.75, 1.0], flip=True)
+    np.testing.assert_array_equal(np.asarray(s_msf.hist),
+                                  np.asarray(m_msf.hist))

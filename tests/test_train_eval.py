@@ -183,13 +183,16 @@ def test_checkpoint_roundtrip(tmp_path, tiny_model_state):
     cm.save(state, epoch=1, miou=10.0)
     cm.save(state, epoch=2, miou=30.0)
     cm.save(state, epoch=3, miou=20.0)
-    # keep=2 -> the 10.0 one is dropped, best is 30.0 at epoch 2
+    # keep=2 -> the 10.0 one is dropped (retention is best-by-metric)
+    best_path, best_epoch, best_miou = cm.best()
+    assert "miou_30.0" in best_path and best_epoch == 2
+    # resume target is the NEWEST epoch, not the best metric
     path, epoch = cm.latest()
-    assert "miou_30.0" in path and epoch == 2
+    assert "miou_20.0" in path and epoch == 3
 
     blank = jax.tree.map(jnp.zeros_like, state)
     restored, next_epoch = cm.restore(blank)
-    assert next_epoch == 3
+    assert next_epoch == 4
     np.testing.assert_array_equal(
         np.asarray(restored.params["decode_head"]["conv_seg"]["kernel"]),
         np.asarray(state.params["decode_head"]["conv_seg"]["kernel"]))
