@@ -37,14 +37,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_tile(h: int, w: int, ch: int, budget_bytes: int = 6 * 2 ** 20):
-    """Largest Th dividing h with hidden tile under the VMEM budget."""
+def _pick_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
+                   budget_bytes: int = 13 * 2 ** 20):
+    """Largest Th dividing h whose TOTAL scoped-VMEM footprint fits.
+
+    Scoped VMEM (16MB) must hold the declared scratch (x halo tile in the
+    input dtype + fp32 hidden tile) AND Mosaic's stack temporaries for the
+    9-tap conv accumulation / gelu. Calibration from compiler scoped-vmem
+    reports (bf16 inputs): total 18.27M at hidden 5.94M + x 3.05M, i.e.
+    stack ~1.6x the hidden tile; model it at 2.0x with a 3MB headroom.
+    (fp32 inputs have much larger stacks — the caller only uses this
+    kernel for bf16.) Budgeting only the hidden tile overflowed at MSF
+    eval scales >1."""
+    wp = -(-(w + 2) // 8) * 8
+    cp = -(-c // 128) * 128
     best = 1
     for th in range(1, h + 1):
         if h % th:
             continue
-        hidden_bytes = (th + 2) * (w + 2) * ch * 4  # fp32 hidden tile
-        if hidden_bytes <= budget_bytes:
+        x_tile = (th + 2) * wp * cp * itemsize
+        h_tile = (th + 2) * wp * ch * 4
+        stack = int(2.0 * h_tile)
+        if x_tile + h_tile + stack <= budget_bytes:
             best = th
     return best
 
@@ -126,7 +140,7 @@ def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
                     eps: float, interpret: bool):
     B, H, W, C = x.shape
     Ch = fc1_w.shape[1]
-    Th = _pick_row_tile(H, W, Ch)
+    Th = _pick_row_tile(H, W, C, Ch, x.dtype.itemsize)
     WP = -(-(W + 2) // 8) * 8       # DMA sublane granularity
     CP = -(-C // 128) * 128         # DMA lane granularity
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, WP - W - 1), (0, CP - C)))
