@@ -190,10 +190,17 @@ class NativeBatchLoader:
 def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False,
                   native: bool = False):
     """Factory mirroring get_train_loader (dataloader.py:126-177): epoch
-    length = batch_size * niters_per_epoch via oversampling. native=True
+    length = batch_size * niters_per_epoch via oversampling; under
+    multi-host, each host loads batch_size // world rows per step (reference
+    per-rank split, dataloader.py:160-163) and the Trainer concatenates the
+    slices into the global batch (parallel/mesh.commit_global). native=True
     uses the C++ decode pool (fixed-canvas datasets only)."""
     from dformer_tpu.data.datasets import RGBXDataset, SyntheticRGBXDataset
 
+    rank, world = shard
+    assert cfg.batch_size % world == 0, (
+        f"batch_size {cfg.batch_size} not divisible by world {world}")
+    local_bs = cfg.batch_size // world
     file_length = cfg.batch_size * cfg.niters_per_epoch
     if synthetic:
         ds = SyntheticRGBXDataset(cfg.num_train_imgs,
@@ -207,10 +214,10 @@ def train_batches(cfg, dataset_cls=None, shard=(0, 1), synthetic: bool = False,
 
             if native_loader.available():
                 return NativeBatchLoader(
-                    ds, cfg.batch_size,
+                    ds, local_bs,
                     (cfg.image_height, cfg.image_width), shuffle=True,
                     drop_last=True, seed=cfg.get("seed", 0), shard=shard)
-    return Loader(ds, cfg.batch_size, shuffle=True, drop_last=True,
+    return Loader(ds, local_bs, shuffle=True, drop_last=True,
                   seed=cfg.get("seed", 0), shard=shard)
 
 

@@ -15,8 +15,13 @@ TPU-first design choices:
     python window loop becomes a single batched XLA program.
   * Each (scale, flip) pair is one compiled shape; 5 scales x flip = <=10
     executables, reused across the whole val set.
-  * Per-batch confusion hists accumulate on device; under a mesh they are
-    psum-reduced instead of pickle-gathered (val_mm.py:201-207).
+  * Pass `mesh=` to shard evaluation over the local chips (the reference
+    shards the val set across ranks with DistributedSampler and pickle-gathers
+    Metrics, val_mm.py:201-207): variables are committed replicated, each
+    batch is committed batch-sharded (padded to a device multiple with
+    ignore-label ground truth so the histogram is exact), and GSPMD reduces
+    the per-device confusion hists inside the jitted step — the psum is
+    compiler-inserted, not hand-written.
 """
 
 from functools import partial
@@ -56,14 +61,36 @@ class Evaluator:
     forward(rgb, modal) must return [B, H, W, num_classes] logits at input
     resolution (EncoderDecoder.__call__)."""
 
-    def __init__(self, model, variables, cfg, sliding: bool = False):
+    def __init__(self, model, variables, cfg, sliding: bool = False,
+                 mesh=None):
         self.model = model
-        self.variables = variables
         self.cfg = cfg
         self.sliding = sliding
         self.num_classes = cfg.num_classes
         self.background = cfg.background
+        self.mesh = mesh
+        self._ndev = (int(np.prod(list(mesh.shape.values())))
+                      if mesh is not None else 1)
+        if self._ndev > 1:
+            from dformer_tpu.parallel.mesh import replicated
+
+            variables = jax.device_put(variables, replicated(mesh))
+        self.variables = variables
         self._jitted = {}
+
+    def _commit(self, arr, pad_value=0):
+        """Batch-shard an input over the mesh, padding the batch to a device
+        multiple (pad gt with the ignore label so hists are unaffected)."""
+        a = np.asarray(arr)
+        if self._ndev <= 1:
+            return jnp.asarray(a)
+        from dformer_tpu.parallel.mesh import batch_sharding
+
+        pad = (-a.shape[0]) % self._ndev
+        if pad:
+            a = np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], pad_value, a.dtype)])
+        return jax.device_put(a, batch_sharding(self.mesh))
 
     # -- compiled building blocks ------------------------------------------
 
@@ -161,12 +188,14 @@ class Evaluator:
         metrics = Metrics(self.num_classes, self.background)
         step = self._get_jit("single")
         for batch in batches:
-            probs, hist = step(jnp.asarray(batch["rgb"]),
-                               jnp.asarray(batch["modal_x"]),
-                               jnp.asarray(batch["gt"]))
+            nb = np.asarray(batch["rgb"]).shape[0]
+            probs, hist = step(self._commit(batch["rgb"]),
+                               self._commit(batch["modal_x"]),
+                               self._commit(batch["gt"],
+                                            pad_value=self.background))
             metrics.update_hist(np.asarray(hist))
             if save_hook is not None:
-                save_hook(np.asarray(jnp.argmax(probs, -1)), batch)
+                save_hook(np.asarray(jnp.argmax(probs, -1))[:nb], batch)
         return metrics
 
     def evaluate_msf(self, batches, scales: Sequence[float], flip: bool,
@@ -175,9 +204,10 @@ class Evaluator:
         metrics = Metrics(self.num_classes, self.background)
         hist_fn = self._get_jit("hist")
         for batch in batches:
-            rgb = jnp.asarray(batch["rgb"])
-            modal = jnp.asarray(batch["modal_x"])
-            gt = jnp.asarray(batch["gt"])
+            nb = np.asarray(batch["rgb"]).shape[0]
+            rgb = self._commit(batch["rgb"])
+            modal = self._commit(batch["modal_x"])
+            gt = self._commit(batch["gt"], pad_value=self.background)
             H, W = gt.shape[1:3] if gt.ndim == 3 else gt.shape[:2]
             acc = jnp.zeros(rgb.shape[:1] + (H, W, self.num_classes),
                             jnp.float32)
@@ -191,5 +221,5 @@ class Evaluator:
                                               out_hw=(H, W))(rgb, modal)
             metrics.update_hist(np.asarray(hist_fn(acc, gt)))
             if save_hook is not None:
-                save_hook(np.asarray(jnp.argmax(acc, -1)), batch)
+                save_hook(np.asarray(jnp.argmax(acc, -1))[:nb], batch)
         return metrics

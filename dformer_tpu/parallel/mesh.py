@@ -44,3 +44,27 @@ def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
     sh = batch_sharding(mesh, data_axis)
     return {k: (jax.device_put(v, sh) if hasattr(v, "shape") else v)
             for k, v in batch.items()}
+
+
+def make_local_mesh(data_axis: str = "data") -> Mesh:
+    """Mesh over THIS host's devices only — for per-host work like sharded
+    evaluation under multi-host training (each host evaluates its own slice
+    of the val set; hists merge host-level via
+    Metrics.merge_across_processes)."""
+    devices = np.array(jax.local_devices())
+    return Mesh(devices, (data_axis,))
+
+
+def commit_global(arr, mesh: Mesh, data_axis: str = "data"):
+    """Commit a host-local numpy batch as a GLOBAL batch-sharded array.
+
+    Single-process: plain device_put (the local array IS the global batch).
+    Multi-host: each host passes its own batch_size//world slice and the
+    result is the concatenated global batch (replacing the reference's
+    DistributedSampler + per-rank split, dataloader.py:160-163); a naive
+    device_put of a host-local array would NOT form a global array.
+    """
+    sh = batch_sharding(mesh, data_axis)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(arr))

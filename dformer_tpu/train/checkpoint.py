@@ -59,16 +59,21 @@ class CheckpointManager:
             opt_state=jax.device_get(state.opt_state),
             step=int(state.step),
         )
+        # EVERY process must call save — orbax coordinates the multihost
+        # write itself (primary host writes, the rest join its barriers), so
+        # a rank gate at the caller would deadlock. Host-side extras (meta
+        # json, retention) are process-0 only.
         if _HAS_ORBAX:
             self._ckptr.save(path, tree, force=True)
             self._ckptr.wait_until_finished()
-        else:  # pragma: no cover
+        elif jax.process_index() == 0:  # pragma: no cover
             np.save(path + ".npy", tree, allow_pickle=True)
-        with open(osp.join(self.dir, name + ".meta.json"), "w") as f:
-            json.dump(dict(epoch=epoch, miou=miou, **(extra or {})), f)
+        if jax.process_index() == 0:
+            with open(osp.join(self.dir, name + ".meta.json"), "w") as f:
+                json.dump(dict(epoch=epoch, miou=miou, **(extra or {})), f)
         self._log(f"saved checkpoint {name}")
 
-        existing = self._existing()
+        existing = self._existing() if jax.process_index() == 0 else []
         while len(existing) > self.keep:
             worst = existing.pop(0)
             victim = osp.join(self.dir, worst[2])
@@ -80,12 +85,24 @@ class CheckpointManager:
         return path
 
     def latest(self) -> Optional[Tuple[str, int]]:
-        """(path, epoch) of the best checkpoint by metric, or None."""
+        """(path, epoch) of the NEWEST checkpoint by epoch, or None.
+
+        Retention keeps the best-`keep` by metric, but resume must continue
+        from the most recent epoch — resuming from best-by-metric would
+        silently retrain epochs."""
         existing = self._existing()
         if not existing:
             return None
-        best = existing[-1]
-        return osp.join(self.dir, best[2]), best[1]
+        newest = max(existing, key=lambda t: t[1])
+        return osp.join(self.dir, newest[2]), newest[1]
+
+    def best(self) -> Optional[Tuple[str, int, float]]:
+        """(path, epoch, miou) of the best checkpoint by metric, or None."""
+        existing = self._existing()
+        if not existing:
+            return None
+        b = existing[-1]
+        return osp.join(self.dir, b[2]), b[1], b[0]
 
     def restore(self, state, path: Optional[str] = None):
         """Restore into a template TrainState; returns (state, epoch+1)."""

@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from dformer_tpu.ops.loss import softmax_cross_entropy_masked_mean
-from dformer_tpu.parallel.mesh import batch_sharding, replicated
+from dformer_tpu.parallel.mesh import commit_global, replicated
 
 
 class TrainState(struct.PyTreeNode):
@@ -72,17 +72,27 @@ class Trainer:
     (reference utils/train.py epoch loop + engine checkpoint policy)."""
 
     def __init__(self, model, state: TrainState, tx, cfg, mesh=None,
-                 logger=None, seed: int = 8964):
+                 logger=None, seed: int = 8964, tb=None):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.logger = logger
+        self.tb = tb
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(model, tx, cfg, mesh)
         # commit the state replicated over the mesh once; batches are
         # committed batch-sharded per step — jit infers the DP shardings
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
-            state = jax.device_put(state, replicated(mesh))
+            if jax.process_count() > 1:
+                # every host holds an identical seeded init; promote the
+                # host-local copies to one global replicated array
+                from jax.experimental import multihost_utils
+                from jax.sharding import PartitionSpec
+
+                state = multihost_utils.host_local_array_to_global_array(
+                    jax.device_get(state), mesh, PartitionSpec())
+            else:
+                state = jax.device_put(state, replicated(mesh))
         self.state = state
 
     def log(self, msg):
@@ -91,12 +101,14 @@ class Trainer:
         else:
             print(msg, flush=True)
 
-    def run_epoch(self, loader, epoch: int) -> float:
+    def run_epoch(self, loader, epoch: int, total_epochs: int = None) -> float:
         from dformer_tpu.data.augment import device_train_augment
+        from dformer_tpu.utils.profiling import StepTimer
 
         cfg = self.cfg
         loader.set_epoch(epoch)
         losses = []
+        timer = StepTimer()
         t0 = time.time()
         n = len(loader)
         multi = self.mesh is not None and \
@@ -104,8 +116,9 @@ class Trainer:
         for it, batch in enumerate(loader):
             key = jax.random.fold_in(self.rng, epoch * 100003 + it)
             if multi:
-                sh = batch_sharding(self.mesh)
-                arrs = {k: jax.device_put(batch[k], sh)
+                # forms the GLOBAL batch: under multi-host each host
+                # contributes its batch_size//world slice
+                arrs = {k: commit_global(batch[k], self.mesh)
                         for k in ("rgb", "gt", "modal_x")}
             else:
                 arrs = {k: jnp.asarray(batch[k])
@@ -124,11 +137,27 @@ class Trainer:
                 else jnp.asarray(cfg.norm_std, jnp.float32),
                 true_hw=(jnp.asarray(batch["hw"]) if "hw" in batch else None),
             )
+            timer.start()
             self.state, loss = self.step_fn(self.state, rgb, gt, modal_x,
                                             self.rng)
+            # keep the loss lazy (device scalar) — no host sync per step;
+            # per-iter series resolve at epoch end (reference logs every
+            # iter with an all-reduce, utils/train.py:329-330,377-381)
+            losses.append(loss)
             if it % max(n // 10, 1) == 0:
-                losses.append(float(loss))
+                # sync here so the EMA samples true device step time
+                # (including any queued backlog since the last sync)
+                timer.stop(loss)
+                remaining = (n - it - 1) + \
+                    n * (max(total_epochs - epoch, 0) if total_epochs else 0)
+                sec_per_it = (time.time() - t0) / (it + 1)
+                eta_s = sec_per_it * remaining
                 self.log(f"epoch {epoch} iter {it + 1}/{n} "
-                         f"loss {losses[-1]:.4f} "
-                         f"({(time.time() - t0) / (it + 1):.2f}s/it)")
+                         f"loss {float(loss):.4f} "
+                         f"({sec_per_it:.2f}s/it, ETA {eta_s / 60:.1f}m)")
+        losses = [float(l) for l in losses]
+        if self.tb is not None:
+            base = (epoch - 1) * n
+            for i, l in enumerate(losses):
+                self.tb.scalar("train/loss_iter", l, base + i)
         return float(np.mean(losses)) if losses else float("nan")

@@ -72,7 +72,10 @@ def main():
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
 
-        ev = Evaluator(model, variables, cfg, sliding=args.sliding)
+        from dformer_tpu.parallel.mesh import make_local_mesh, make_mesh
+
+        mesh = make_local_mesh() if jax.process_count() > 1 else make_mesh()
+        ev = Evaluator(model, variables, cfg, sliding=args.sliding, mesh=mesh)
         from tools.train import _val_iter
         batches = _val_iter(cfg, engine, args)
 

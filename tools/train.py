@@ -124,28 +124,40 @@ def main():
 
         tb = TBWriter(cfg.get("tb_dir"), rank=engine.rank)
         trainer = Trainer(model, state, tx, cfg, mesh=mesh, logger=log,
-                          seed=engine.seed)
+                          seed=engine.seed, tb=tb)
         train_loader = train_batches(cfg, shard=engine.data_shard(),
                                      synthetic=args.synthetic_data,
                                      native=args.native_loader)
         best_miou = 0.0
         for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
-            mean_loss = trainer.run_epoch(train_loader, epoch)
+            mean_loss = trainer.run_epoch(train_loader, epoch,
+                                          total_epochs=cfg.nepochs)
             tb.scalar("train/loss", mean_loss, epoch)
             log.info(f"epoch {epoch}/{cfg.nepochs} loss {mean_loss:.4f} "
                      f"({time.time() - t0:.1f}s)")
             if is_eval(epoch, cfg):
                 eval_vars = {"params": trainer.state.params,
                              "batch_stats": trainer.state.batch_stats}
-                ev = Evaluator(model, eval_vars, cfg, sliding=args.sliding)
+                # eval shards per host: local mesh under multi-host (hists
+                # merge host-level below), the full mesh on one host
+                from dformer_tpu.parallel.mesh import make_local_mesh
+                eval_mesh = make_local_mesh() if jax.process_count() > 1 \
+                    else mesh
+                ev = Evaluator(model, eval_vars, cfg, sliding=args.sliding,
+                               mesh=eval_mesh)
                 batches = _val_iter(cfg, engine, args)
                 if args.mst:
+                    # reference --mst validation hardcodes these scales+flip
+                    # (utils/train.py:406-415) regardless of config
                     m = ev.evaluate_msf(batches,
-                                        scales=cfg.eval_scale_array,
-                                        flip=cfg.eval_flip)
+                                        scales=[0.5, 0.75, 1.0, 1.25, 1.5],
+                                        flip=True)
                 else:
                     m = ev.evaluate(batches)
+                # merge per-host shards before computing the selection metric
+                # (reference all_gathers Metrics, val_mm.py:201-207)
+                m.merge_across_processes()
                 ious, miou = m.compute_iou()
                 _, macc = m.compute_pixel_acc()
                 _, mf1 = m.compute_f1()
@@ -153,8 +165,10 @@ def main():
                 tb.scalar("val/mIoU", miou, epoch)
                 tb.scalar("val/mAcc", macc, epoch)
                 tb.scalar("val/mF1", mf1, epoch)
-                if miou > best_miou and engine.rank == 0:
+                if miou > best_miou:
                     best_miou = miou
+                    # all hosts participate (orbax coordinates multihost
+                    # writes; a rank gate would deadlock them)
                     ckpt.save(trainer.state, epoch, miou)
         tb.close()
         log.info(f"done; best mIoU {best_miou}")
