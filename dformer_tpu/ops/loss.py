@@ -171,3 +171,49 @@ def class_balanced_ce(logits, labels, ignore_index: int = 255,
     nll = per_pixel_cross_entropy(logits, labels, ignore_index)
     w = jnp.take(weights, safe) * valid
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def rce_loss(logits, labels, ignore_index: int = 255, beta: float = 0.01):
+    """Reverse-CE-regularized CE (reference utils/loss_opr.py:27-61 RCELoss,
+    dormant in the reference). Semantics reproduced exactly:
+      loss1 = masked-mean CE(logits, labels)
+      loss2 = mean over ALL pixels of valid * -log(clip(onehot(labels),
+              1e-9, 1-1e-9))[argmax(logits)]   (invalid labels onehot to
+              class 0 before masking, and the mean divides by the total
+              pixel count — both reference quirks)
+    """
+    num_classes = logits.shape[-1]
+    lg = logits.astype(jnp.float32)
+    valid = (labels != ignore_index)
+    loss1 = softmax_cross_entropy_masked_mean(logits, labels, ignore_index)
+    max_id = jnp.argmax(lg, axis=-1)
+    safe = jnp.where(valid, labels, 0)
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+    label_pred = jnp.clip(onehot, 1e-9, 1.0 - 1e-9)
+    picked = -jnp.log(jnp.take_along_axis(
+        label_pred, max_id[..., None], axis=-1))[..., 0]
+    loss2 = jnp.mean(picked * valid.astype(jnp.float32))
+    return loss1 + beta * loss2
+
+
+def sigmoid_focal_loss(logits, labels, ignore_index: int = 255,
+                       gamma: float = 2.0, alpha: float = 0.25):
+    """Sigmoid focal loss (reference utils/loss_opr.py:104-134, dormant).
+
+    The reference treats the integer label map as a {0,1} target ("onehot"
+    is the raw label value) and builds its stable-log term from the SIGMOID
+    (max_val = clamp(-sigmoid, min=0) = 0 always); reproduced verbatim for
+    parity, single-logit [B, H, W] input like the reference's [b,-1,1] view.
+    """
+    b = labels.shape[0]
+    pred = logits.reshape(b, -1, 1).astype(jnp.float32)
+    p = jax.nn.sigmoid(pred)
+    t_raw = labels.reshape(b, -1)
+    mask = (t_raw != ignore_index).astype(jnp.float32)
+    onehot = (mask * t_raw.astype(jnp.float32))[..., None]
+    max_val = jnp.clip(-p, 0.0, None)
+    pos = (1.0 - p) ** gamma * (p - p * onehot)
+    neg = p ** gamma * (max_val + jnp.log(
+        jnp.exp(-max_val) + jnp.exp(-p - max_val)))
+    loss = -(alpha * pos + (1.0 - alpha) * neg).sum(-1) * mask
+    return loss.mean()

@@ -68,3 +68,65 @@ def test_lovasz_decreases_with_better_preds():
     bad = jnp.asarray(RNG.randn(1, 16, 16, C).astype(np.float32))
     assert float(lovasz_softmax_loss(good, labels)) < \
         float(lovasz_softmax_loss(bad, labels))
+
+
+def test_sigmoid_focal_matches_reference_module():
+    """Drives the reference's own SigmoidFocalLoss (utils/loss_opr.py:104)
+    as the oracle (no cuda calls in that module path)."""
+    import sys
+
+    import torch
+
+    import ref_stubs
+
+    ref_stubs.install_stubs()
+    for p in ("/root/reference", "/root/reference/utils"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import loss_opr as ref_loss
+
+    from dformer_tpu.ops.loss import sigmoid_focal_loss
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 8, 10).astype(np.float32)
+    labels = rng.randint(0, 2, (2, 8, 10)).astype(np.int64)
+    labels[0, 0, :3] = 255
+
+    mod = ref_loss.SigmoidFocalLoss(ignore_label=255)
+    want = float(mod(torch.from_numpy(logits), torch.from_numpy(labels)))
+    got = float(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rce_matches_torch_reimplementation():
+    """RCELoss (utils/loss_opr.py:27-61) hardcodes .cuda() so it cannot run
+    here; the oracle is its math transcribed to CPU torch, quirks included
+    (invalid labels onehot to class 0, loss2 mean over all pixels)."""
+    import torch
+    import torch.nn.functional as tF
+
+    from dformer_tpu.ops.loss import rce_loss
+
+    rng = np.random.RandomState(1)
+    C = 6
+    logits = rng.randn(2, 5, 7, C).astype(np.float32)
+    labels = rng.randint(0, C, (2, 5, 7)).astype(np.int64)
+    labels[1, 2, :4] = 255
+
+    pred = torch.from_numpy(logits.transpose(0, 3, 1, 2))
+    target = torch.from_numpy(labels)
+    b, c, h, w = pred.shape
+    max_pred, max_id = torch.max(pred, dim=1)
+    target_flat = target.view(b, 1, h, w)
+    mask = (target_flat.ne(255)).float()
+    target_flat = (mask * target_flat.float()).long()
+    label_pred = torch.zeros(b, C, h, w).scatter_(1, target_flat, 1)
+    weighted_pred = tF.log_softmax(pred, dim=1)
+    loss1 = tF.nll_loss(weighted_pred, target, ignore_index=255)
+    label_pred = torch.clamp(label_pred, min=1e-9, max=1.0 - 1e-9)
+    loss2_map = tF.nll_loss(torch.log(label_pred), max_id, reduction="none")
+    loss2 = torch.mean(loss2_map * mask.squeeze(1))
+    want = float(loss1 + 0.01 * loss2)
+
+    got = float(rce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -74,6 +74,9 @@ def main():
                            opt_state=tx.init(variables["params"]))
         step = make_fss_train_step(model, tx, cfg)
         ckpt = CheckpointManager(cfg.checkpoint_dir, keep=5, logger=log)
+        from dformer_tpu.runtime.wandb import WandbHook
+
+        wb = WandbHook(cfg, rank=engine.rank, logger=log)
 
         rgb_mean = jnp.asarray(cfg.norm_mean, jnp.float32)
         rgb_std = jnp.asarray(cfg.norm_std, jnp.float32)
@@ -115,9 +118,12 @@ def main():
             m = fss_evaluate(model, eval_vars, val_batches(), cfg)
             _, miou = m.compute_iou()
             log.info(f"epoch {epoch} episodic mIoU {miou}")
-            if miou > best and engine.rank == 0:
+            wb.log_fss_eval(epoch, m)
+            if miou > best:
                 best = miou
+                # all hosts call save (orbax coordinates multihost writes)
                 ckpt.save(state, epoch, miou)
+        wb.finish()
         log.info(f"done; best episodic mIoU {best}")
 
 
