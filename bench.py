@@ -13,9 +13,12 @@ ground truth. Falls back to naive wall timing if the xplane proto parser
 is unavailable.
 
 Baseline: the reference publishes no A100 throughput (BASELINE.md — harness
-only). We use an estimated 60 img/s for DFormer-L bs>1 fp16 480x640 on one
-A100 with the reference's PyTorch stack; the >3x goal in BASELINE.json
-corresponds to vs_baseline >= 3.0.
+only). We use 60 img/s for DFormer-L fp16 480x640 on one A100 with the
+reference's PyTorch stack — the center of a 40-100 img/s band derived in
+BENCH_NOTES.md from (a) measured V100 fps of SegFormer-class models in the
+reference's own vendored mmseg model zoo scaled by FLOPs and an A100/V100
+factor, and (b) the reference's published training wall-clock. The >3x goal
+in BASELINE.json corresponds to vs_baseline >= 3.0.
 """
 
 import glob

@@ -63,16 +63,28 @@ def _pick_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
     return best
 
 
+# erf(x) ~= clip(x)*P(clip(x)^2): degree-9 Chebyshev-fit polynomial on
+# [0, 3.2] with the INPUT clamped (erf(3.2) = 1 - 6e-6, so clamping is
+# exact to that level). Max abs error 1.04e-4 in fp32 Horner — far below
+# the bf16 output rounding (~8e-3 relative).
+_ERF_COEF = (
+    1.12837360786395, -0.3760067861649412, 0.11240998780295644,
+    -0.0262640509517288, 0.0047839569871558916, -0.0006632664032985942,
+    6.66115328009782e-05, -4.496101902094742e-06, 1.8023235218673599e-07,
+    -3.215700570892291e-09)
+
+
 def _erf(x):
-    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7): Mosaic has
-    no erf/erfc lowering, but exp is supported."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    """Polynomial erf: Mosaic has no erf lowering, and the exp-based
+    Abramowitz-Stegun form used in round 1 is ~2x the VPU ops (divide +
+    exp) — this kernel is VPU-bound, and switching measured 2.09 -> 1.79
+    ms/call at the DFormer-L stage-1 bench shape."""
+    xc = jnp.clip(x, -3.2, 3.2)
+    t = xc * xc
+    acc = jnp.full_like(x, np.float32(_ERF_COEF[-1]))
+    for c in _ERF_COEF[-2::-1]:
+        acc = acc * t + np.float32(c)
+    return xc * acc
 
 
 def _kernel(x_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,

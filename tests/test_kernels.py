@@ -25,8 +25,11 @@ def test_fused_mlp_interpret_matches_reference(shape):
     ps = _mlp_params(C, C * r)
     want = fused_mlp_reference(x, *ps)
     got = fused_mlp(x, *ps, 1e-6, True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
-                               rtol=1e-4)
+    # the kernel's polynomial gelu (erf to 1.04e-4 abs — chosen because the
+    # VPU, not the MXU, bounds this kernel) budgets ~1e-3 abs at the output;
+    # the TPU path only ever runs in bf16 where rounding is ~8e-3 relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3,
+                               rtol=1e-3)
 
 
 def test_fused_mlp_grad_matches_reference():

@@ -1,0 +1,88 @@
+"""Microbenchmark the fused MLP kernel vs the XLA reference at a bench shape.
+
+Usage: python tools/mlp_kernel_bench.py [B H W C ratio]
+"""
+import glob
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def device_ms(logdir, prefix="jit_"):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
+    xs = xplane_pb2.XSpace()
+    with open(files[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    total = 0.0
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id]
+                if md.name.startswith(prefix):
+                    total += ev.duration_ps / 1e9
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dformer_tpu.kernels.fused_mlp import fused_mlp, fused_mlp_reference
+
+    args = [int(a) for a in sys.argv[1:]] or [8, 120, 160, 96, 8]
+    B, H, W, C, ratio = args
+    Ch = C * ratio
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32),
+                    jnp.bfloat16)
+    ln_w = jnp.asarray(rng.uniform(0.8, 1.2, (C,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(0, 0.05, (C,)).astype(np.float32))
+    fc1_w = jnp.asarray(rng.normal(0, C ** -0.5, (C, Ch)).astype(np.float32),
+                        jnp.bfloat16)
+    fc1_b = jnp.asarray(rng.normal(0, 0.05, (Ch,)).astype(np.float32))
+    pos_w = jnp.asarray(rng.normal(0, 0.2, (3, 3, Ch)).astype(np.float32),
+                        jnp.bfloat16)
+    pos_b = jnp.asarray(rng.normal(0, 0.05, (Ch,)).astype(np.float32))
+    fc2_w = jnp.asarray(rng.normal(0, Ch ** -0.5, (Ch, C)).astype(np.float32),
+                        jnp.bfloat16)
+    fc2_b = jnp.asarray(rng.normal(0, 0.05, (C,)).astype(np.float32))
+    inputs = (x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
+
+    pallas_fn = jax.jit(lambda *a: fused_mlp(*a))
+    xla_fn = jax.jit(lambda *a: fused_mlp_reference(*a))
+
+    out_p = jax.block_until_ready(pallas_fn(*inputs))
+    out_x = jax.block_until_ready(xla_fn(*inputs))
+    err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
+                                - out_x.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(out_x.astype(jnp.float32))))
+    print(f"shape B{B} {H}x{W} C{C} ratio{ratio}: max|pallas-xla|={err:.4f} "
+          f"(scale {scale:.2f})")
+
+    reps = 30
+    todo = (("pallas", pallas_fn),) if os.environ.get("SKIP_XLA") \
+        else (("pallas", pallas_fn), ("xla", xla_fn))
+    for name, fn in todo:
+        for _ in range(3):
+            jax.block_until_ready(fn(*inputs))
+        logdir = tempfile.mkdtemp(prefix="mlpbench_")
+        jax.profiler.start_trace(logdir)
+        for _ in range(reps):
+            out = fn(*inputs)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        ms = device_ms(logdir) / reps
+        flops = (2 * B * H * W * C * Ch * 2 + B * H * W * Ch * 9 * 2)
+        print(f"{name}: {ms:.3f} ms/call  ({flops / ms / 1e9:.1f} TFLOP/s)")
+
+
+if __name__ == "__main__":
+    main()
