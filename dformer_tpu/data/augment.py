@@ -208,3 +208,138 @@ def normalize_batch(rgb, modal_x, rgb_mean, rgb_std, x_mean, x_std):
     rgb = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
     modal_x = (modal_x.astype(jnp.float32) / 255.0 - x_mean) / x_std
     return rgb.astype(jnp.float32), modal_x.astype(jnp.float32)
+
+
+# -- standalone aug primitives (reference utils/transforms.py:61-157) -------
+#
+# The reference ships these in its transforms library but its TrainPre never
+# calls rotation/blur/pad-to-multiple/shortest-edge; they exist for users
+# composing custom pipelines. Device-side equivalents with cv2-parity
+# semantics (static shapes — pad/resize targets derive from the static input
+# shape, so each distinct geometry is one compile).
+
+
+def pad_to_shape(img, shape: Tuple[int, int], pad_value):
+    """Centered constant pad to at least `shape`
+    (pad_image_to_shape, transforms.py:61-75). Returns (img, margin) with
+    margin = [top, bottom, left, right] like the reference."""
+    h, w = img.shape[:2]
+    ph, pw = max(shape[0] - h, 0), max(shape[1] - w, 0)
+    margin = (ph // 2, ph - ph // 2, pw // 2, pw - pw // 2)
+    pads = [(margin[0], margin[1]), (margin[2], margin[3])] + \
+        [(0, 0)] * (img.ndim - 2)
+    return jnp.pad(img, pads, constant_values=pad_value), \
+        np.asarray(margin, np.uint32)
+
+
+def pad_to_multiple(img, multiple: int, pad_value):
+    """Centered pad so H and W are multiples of `multiple`
+    (pad_image_size_to_multiples_of, transforms.py:77-87)."""
+    h, w = img.shape[:2]
+    th = -(-h // multiple) * multiple
+    tw = -(-w // multiple) * multiple
+    return pad_to_shape(img, (th, tw), pad_value)
+
+
+def resize_shortest_edge(img, edge_length: int):
+    """Scale so the shortest edge equals edge_length, cv2 INTER_LINEAR
+    geometry (resize_ensure_shortest_edge, transforms.py:89-100)."""
+    from dformer_tpu.ops.resize import resize_bilinear
+
+    h, w = img.shape[:2]
+    if h < w:
+        th, tw = edge_length, max(1, int(edge_length / h * w))
+    else:
+        th, tw = max(1, int(edge_length / w * h)), edge_length
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+    out = resize_bilinear(x.astype(jnp.float32)[None], (th, tw),
+                          align_corners=False)[0]
+    return out[..., 0] if squeeze else out
+
+
+def center_crop(img, shape: Tuple[int, int]):
+    """(transforms.py:158-162)."""
+    y = (img.shape[0] - shape[0]) // 2
+    x = (img.shape[1] - shape[1]) // 2
+    return img[y:y + shape[0], x:x + shape[1]]
+
+
+def rotate(img, angle_deg, nearest: bool = False, pad_value: float = 0.0):
+    """Rotate about the image center like cv2.warpAffine with
+    getRotationMatrix2D(center, angle, 1) (transforms.py:139-147): positive
+    angle is counter-clockwise in image coordinates, constant 0 border,
+    INTER_LINEAR (or INTER_NEAREST for labels). angle may be a traced
+    scalar — one compile covers all angles."""
+    from jax.scipy.ndimage import map_coordinates
+
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+    h, w = x.shape[0], x.shape[1]
+    cx, cy = w / 2.0, h / 2.0  # cv2 center=(w/2, h/2), transforms.py:142
+    th = -angle_deg * np.pi / 180.0  # dst->src is the inverse rotation
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    # cv2 rotates with y pointing DOWN: CCW on screen is CW in (x, y-down)
+    sx = cos * (xx - cx) + sin * (yy - cy) + cx
+    sy = -sin * (xx - cx) + cos * (yy - cy) + cy
+    order = 0 if nearest else 1
+    out = jax.vmap(
+        lambda ch: map_coordinates(ch, [sy, sx], order=order,
+                                   mode="constant", cval=pad_value),
+        in_axes=-1, out_axes=-1)(x.astype(jnp.float32))
+    return out[..., 0] if squeeze else out
+
+
+def random_rotation(key, img, gt):
+    """angle ~ U(-10, 10) deg, bilinear image / nearest labels
+    (random_rotation, transforms.py:139-147)."""
+    angle = jax.random.uniform(key) * 20.0 - 10.0
+    return rotate(img, angle), rotate(gt, angle, nearest=True)
+
+
+# cv2's hardcoded small-sigma kernels (getGaussianKernel with sigma<=0 and
+# ksize<=7 returns these fixed taps)
+_CV2_GAUSS = {
+    1: (1.0,),
+    3: (0.25, 0.5, 0.25),
+    5: (0.0625, 0.25, 0.375, 0.25, 0.0625),
+    7: (0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125),
+}
+
+
+def gaussian_blur(img, ksize: int):
+    """cv2.GaussianBlur(img, (k, k), 0) parity: cv2's fixed small-kernel
+    taps, BORDER_REFLECT_101 (= jnp.pad mode='reflect'), separable passes
+    (random_gaussian_blur, transforms.py:149-155)."""
+    if ksize <= 1:
+        return img
+    taps = jnp.asarray(_CV2_GAUSS[ksize], jnp.float32)
+    r = ksize // 2
+    squeeze = img.ndim == 2
+    x = (img[..., None] if squeeze else img).astype(jnp.float32)
+
+    def pass_axis(a, axis):
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (r, r)
+        ap = jnp.pad(a, pads, mode="reflect")
+        out = None
+        for i in range(ksize):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + a.shape[axis])
+            term = taps[i] * ap[tuple(sl)]
+            out = term if out is None else out + term
+        return out
+
+    out = pass_axis(pass_axis(x, 0), 1)
+    return out[..., 0] if squeeze else out
+
+
+def random_gaussian_blur(key, img):
+    """ksize ~ choice([1, 3, 5, 7]) (transforms.py:149-155); lax.switch so
+    the draw stays on device."""
+    idx = jax.random.randint(key, (), 0, 4)
+    fns = [lambda a: a.astype(jnp.float32)] + \
+        [partial(gaussian_blur, ksize=k) for k in (3, 5, 7)]
+    return jax.lax.switch(idx, fns, img)

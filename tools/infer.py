@@ -1,6 +1,12 @@
 #!/usr/bin/env python
-"""Prediction saving — counterpart of reference utils/infer.py (infer.sh):
-MSF eval with colorized PNG dumps."""
+"""Prediction saving — counterpart of reference utils/infer.py (infer.sh).
+
+The reference's infer.py is not a separate inference engine: it rebuilds the
+val loader and calls the SAME evaluate/evaluate_msf as eval.py, differing
+only in always passing save_path for the colorized PNG dumps
+(/root/reference/utils/infer.py:62-66,100-130). This driver therefore
+delegates to tools/eval.py deliberately — one evaluation code path, with
+this CLI preserving the reference's infer.sh surface."""
 
 import argparse
 import os
