@@ -10,7 +10,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def op_breakdown(logdir, top=40):
+def op_breakdown(logdir, top=150):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
