@@ -21,34 +21,11 @@ factor, and (b) the reference's published training wall-clock. The >3x goal
 in BASELINE.json corresponds to vs_baseline >= 3.0.
 """
 
-import glob
 import json
 import tempfile
 import time
 
 import numpy as np
-
-
-def _device_ms_from_xplane(logdir: str, prefix: str = "jit_"):
-    """Sum device-plane durations of jitted computations, in ms."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
-
-    files = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
-    if not files:
-        return None
-    xs = xplane_pb2.XSpace()
-    with open(files[0], "rb") as f:
-        xs.ParseFromString(f.read())
-    total = 0.0
-    for plane in xs.planes:
-        if not plane.name.startswith("/device:"):
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                if md.name.startswith(prefix):
-                    total += ev.duration_ps / 1e9
-    return total or None
 
 
 def main():
@@ -86,7 +63,9 @@ def main():
     wall_ms = (time.perf_counter() - t0) * 1000
 
     try:
-        dev_ms = _device_ms_from_xplane(logdir)
+        from dformer_tpu.utils.profiling import device_time_ms
+
+        dev_ms = device_time_ms(logdir)
     except Exception:
         dev_ms = None
     per_iter_ms = (dev_ms / reps) if dev_ms else (wall_ms / reps)

@@ -3,15 +3,44 @@ CUDA-event timers (SURVEY.md §5.1: utils/latency.py CUDA events,
 utils/train.py gpu_timer EMA epoch timers).
 
   * `trace(logdir)`: jax.profiler trace context -> TensorBoard xplane dump.
+  * `device_time_ms(logdir)`: sum the device-plane durations of jitted
+    computations from a trace — GROUND TRUTH on this runtime, where
+    block_until_ready can return before queued device work completes
+    (wall-clock loops read arbitrarily fast for dependent-step chains).
   * `StepTimer`: EMA-smoothed step timing with ETA (gpu_timer equivalent,
     utils/train.py:64-87) using block_until_ready for accurate device time.
   * `annotate`: named trace spans (jax.profiler.TraceAnnotation).
 """
 
 import contextlib
+import glob
 import time
 
 import jax
+
+
+def device_time_ms(logdir: str, prefix: str = "jit_"):
+    """Sum device-plane durations (ms) of computations whose metadata name
+    starts with `prefix`, from the newest xplane dump under `logdir`.
+    Returns None when no dump or no matching events exist."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
+
+    files = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb"))
+    if not files:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(files[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    total = 0.0
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id]
+                if md.name.startswith(prefix):
+                    total += ev.duration_ps / 1e9
+    return total or None
 
 
 @contextlib.contextmanager

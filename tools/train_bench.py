@@ -48,17 +48,30 @@ def main():
     gt = jnp.asarray(rng.randint(0, cfg.num_classes, (B, H, W)).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
+    import tempfile
+
+    from dformer_tpu.utils.profiling import device_time_ms
+
     state, loss = step(state, rgb, gt, rgb, key)  # compile
     jax.block_until_ready(loss)
+    # device-plane timing: on this runtime block_until_ready can return
+    # before queued work completes, so a wall-clock loop reads absurdly
+    # fast (9 ms for a ~250 ms step); the profiler's device plane is
+    # ground truth (same method as bench.py)
+    logdir = tempfile.mkdtemp(prefix="train_bench_")
     t0 = time.perf_counter()
+    jax.profiler.start_trace(logdir)
     for _ in range(args.reps):
         state, loss = step(state, rgb, gt, rgb, key)
     jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / args.reps
+    jax.profiler.stop_trace()
+    wall = (time.perf_counter() - t0) / args.reps
+    dev_ms = device_time_ms(logdir)
+    dt = (dev_ms / args.reps / 1000.0) if dev_ms else wall
     ips = B / dt
     print(f"config: {args.config} bs={B} {H}x{W} bf16 train step")
-    print(f"step {dt * 1000:.1f} ms  ->  {ips:.1f} img/s/chip "
-          f"(epoch of {cfg.num_train_imgs} imgs ≈ "
+    print(f"step {dt * 1000:.1f} ms (device plane)  ->  {ips:.1f} "
+          f"img/s/chip (epoch of {cfg.num_train_imgs} imgs ≈ "
           f"{cfg.num_train_imgs / ips:.0f}s)")
 
 
