@@ -19,19 +19,20 @@ import time
 import jax
 
 
-def device_time_ms(logdir: str, prefix: str = "jit_"):
-    """Sum device-plane durations (ms) of computations whose metadata name
-    starts with `prefix`, from the newest xplane dump under `logdir`.
-    Returns None when no dump or no matching events exist."""
+def device_durations_ms(logdir: str, prefix: str = "jit_"):
+    """Per-event device-plane durations (ms) of computations whose metadata
+    name starts with `prefix`, from the newest xplane dump under `logdir`.
+    Returns a list (possibly empty) — one entry per executable invocation,
+    so percentiles over invocations are meaningful."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
 
     files = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb"))
     if not files:
-        return None
+        return []
     xs = xplane_pb2.XSpace()
     with open(files[-1], "rb") as f:
         xs.ParseFromString(f.read())
-    total = 0.0
+    out = []
     for plane in xs.planes:
         if not plane.name.startswith("/device:"):
             continue
@@ -39,8 +40,14 @@ def device_time_ms(logdir: str, prefix: str = "jit_"):
             for ev in line.events:
                 md = plane.event_metadata[ev.metadata_id]
                 if md.name.startswith(prefix):
-                    total += ev.duration_ps / 1e9
-    return total or None
+                    out.append(ev.duration_ps / 1e9)
+    return out
+
+
+def device_time_ms(logdir: str, prefix: str = "jit_"):
+    """Sum device-plane durations (ms) of computations whose metadata name
+    starts with `prefix` (see device_durations_ms). None when absent."""
+    return sum(device_durations_ms(logdir, prefix)) or None
 
 
 @contextlib.contextmanager

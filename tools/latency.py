@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Inference latency — counterpart of reference utils/latency.py
-(bs=1 480x640, 100 warmup + 300 timed reps with CUDA events); here timed
-with block_until_ready around the jitted forward, reporting avg/p50/p90."""
+(bs=1 480x640, 100 warmup + 300 timed reps with CUDA events); here the
+per-invocation durations come from the profiler's DEVICE plane (the CUDA-
+event equivalent — wall clock with block_until_ready is unreliable on this
+runtime), reporting avg/p50/p90 with wall-clock numbers as fallback."""
 
 import argparse
 import os
@@ -41,19 +43,28 @@ def main():
         return model.apply(variables, rgb, modal, train=False,
                            deterministic_bases=True)
 
+    import tempfile
+
+    from dformer_tpu.utils.profiling import device_durations_ms
+
     rng = np.random.RandomState(0)
     rgb = jnp.asarray(rng.rand(*shape).astype(np.float32))
     for _ in range(args.warmup):
         forward(rgb, rgb).block_until_ready()
 
-    times = []
+    logdir = tempfile.mkdtemp(prefix="latency_")
+    wall = []
+    jax.profiler.start_trace(logdir)
     for _ in range(args.reps):
         t0 = time.perf_counter()
         forward(rgb, rgb).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000)
-    times = np.asarray(times)
+        wall.append((time.perf_counter() - t0) * 1000)
+    jax.profiler.stop_trace()
+    dev = device_durations_ms(logdir)
+    times = np.asarray(dev or wall)
+    src = "device plane" if dev else "wall clock"
     print(f"config: {args.config} bs={args.batch} {args.height}x{args.width} "
-          f"{'bf16' if args.amp else 'fp32'}")
+          f"{'bf16' if args.amp else 'fp32'} ({src})")
     print(f"latency avg {times.mean():.2f} ms  p50 {np.percentile(times, 50):.2f}"
           f" ms  p90 {np.percentile(times, 90):.2f} ms over {args.reps} reps")
 
