@@ -148,23 +148,27 @@ class Attention(fnn.Module):
         a = self.a(self.conv(t, dtype=dt), dtype=dt)
 
         if self.window != 0:
-            kv = self.kv(t, dtype=dt)
-            kv = kv.reshape(B, H * W, 2, nh, hd)
-            k = kv[:, :, 0].transpose(0, 2, 1, 3)  # [B, nh, HW, hd]
-            v = kv[:, :, 1].transpose(0, 2, 1, 3)
+            # k/v stay in [B, HW, heads, hd] token-major form — the kv
+            # projection's channel layout is (k-heads, v-heads) contiguous,
+            # so a channel-group reshape splits them with no [B,HW,...]
+            # transpose (XLA materialized those as ~0.7 ms/iter of layout
+            # copies at the bench shape); the einsums carry the head dim as
+            # a batch dim instead.
+            kv = self.kv(t, dtype=dt).reshape(B, H * W, 2 * nh, hd)
+            k = kv[:, :, :nh]  # [B, HW, nh, hd]
+            v = kv[:, :, nh:]
             pooled = adaptive_avg_pool2d(short_cut, (self.window, self.window))
             m = self.short_cut_linear(pooled, dtype=dt)
-            m = m.reshape(B, self.window * self.window, nh, hd).transpose(0, 2, 1, 3)
+            m = m.reshape(B, self.window * self.window, nh, hd)
             # 49 query tokens attend over the full-res keys. Logits in fp32.
             logits = jnp.einsum(
-                "bnqd,bnkd->bnqk", (m * hd ** -0.5).astype(jnp.float32),
+                "bqnd,bknd->bnqk", (m * hd ** -0.5).astype(jnp.float32),
                 k.astype(jnp.float32))
             attn = jax.nn.softmax(logits, axis=-1)
-            gaa = jnp.einsum("bnqk,bnkd->bnqd", attn.astype(v.dtype), v)
-            # [B, nh, 49, hd] -> [B, 7, 7, nh*hd]; channel order (head, hd)
+            gaa = jnp.einsum("bnqk,bknd->bqnd", attn.astype(v.dtype), v)
+            # [B, 49, nh, hd] -> [B, 7, 7, nh*hd]; channel order (head, hd)
             # matches the reference's permute+reshape (DFormer.py:130).
-            gaa = gaa.transpose(0, 2, 1, 3).reshape(
-                B, self.window, self.window, C // 2)
+            gaa = gaa.reshape(B, self.window, self.window, C // 2)
             gaa = resize_bilinear(gaa, (H, W), align_corners=False)
 
         x_e = self.e_back(self.e_conv(self.e_fore(x_e, dtype=dt), dtype=dt),
