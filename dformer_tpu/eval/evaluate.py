@@ -71,6 +71,12 @@ class Evaluator:
         self.mesh = mesh
         self._ndev = (int(np.prod(list(mesh.shape.values())))
                       if mesh is not None else 1)
+        if jax.process_count() > 1:
+            # under multi-host training the trainer's variables live on the
+            # GLOBAL mesh; eval runs per-host (local mesh), and device_put
+            # of a global array onto local devices is rejected as a
+            # cross-host transfer — pull to host first
+            variables = jax.device_get(variables)
         if self._ndev > 1:
             from dformer_tpu.parallel.mesh import replicated
 
@@ -80,12 +86,13 @@ class Evaluator:
 
     def _commit(self, arr, pad_value=0):
         """Batch-shard an input over the mesh, padding the batch to a device
-        multiple (pad gt with the ignore label so hists are unaffected)."""
-        a = np.asarray(arr)
+        multiple (pad gt with the ignore label so hists are unaffected).
+        Device-resident inputs stay on device in the single-device case."""
         if self._ndev <= 1:
-            return jnp.asarray(a)
+            return jnp.asarray(arr)
         from dformer_tpu.parallel.mesh import batch_sharding
 
+        a = np.asarray(arr)
         pad = (-a.shape[0]) % self._ndev
         if pad:
             a = np.concatenate(
@@ -188,7 +195,7 @@ class Evaluator:
         metrics = Metrics(self.num_classes, self.background)
         step = self._get_jit("single")
         for batch in batches:
-            nb = np.asarray(batch["rgb"]).shape[0]
+            nb = batch["rgb"].shape[0]
             probs, hist = step(self._commit(batch["rgb"]),
                                self._commit(batch["modal_x"]),
                                self._commit(batch["gt"],
@@ -204,7 +211,7 @@ class Evaluator:
         metrics = Metrics(self.num_classes, self.background)
         hist_fn = self._get_jit("hist")
         for batch in batches:
-            nb = np.asarray(batch["rgb"]).shape[0]
+            nb = batch["rgb"].shape[0]
             rgb = self._commit(batch["rgb"])
             modal = self._commit(batch["modal_x"])
             gt = self._commit(batch["gt"], pad_value=self.background)

@@ -177,10 +177,13 @@ def rce_loss(logits, labels, ignore_index: int = 255, beta: float = 0.01):
     """Reverse-CE-regularized CE (reference utils/loss_opr.py:27-61 RCELoss,
     dormant in the reference). Semantics reproduced exactly:
       loss1 = masked-mean CE(logits, labels)
-      loss2 = mean over ALL pixels of valid * -log(clip(onehot(labels),
-              1e-9, 1-1e-9))[argmax(logits)]   (invalid labels onehot to
-              class 0 before masking, and the mean divides by the total
-              pixel count — both reference quirks)
+      loss2 = torch.mean(nll * mask) where nll is [b,h,w]
+              (-log clip(onehot(labels), 1e-9, 1-1e-9) at argmax(logits);
+              invalid labels onehot to class 0 first) and mask is
+              [b,1,h,w] — the mean BROADCASTS them to [b,b,h,w], coupling
+              sample j's NLL with sample i's mask:
+                loss2 = sum_hw (sum_j nll[j]) * (sum_i mask[i]) / (b^2 h w)
+              For b=1 this reduces to the plain masked mean.
     """
     num_classes = logits.shape[-1]
     lg = logits.astype(jnp.float32)
@@ -192,7 +195,9 @@ def rce_loss(logits, labels, ignore_index: int = 255, beta: float = 0.01):
     label_pred = jnp.clip(onehot, 1e-9, 1.0 - 1e-9)
     picked = -jnp.log(jnp.take_along_axis(
         label_pred, max_id[..., None], axis=-1))[..., 0]
-    loss2 = jnp.mean(picked * valid.astype(jnp.float32))
+    b = picked.shape[0]
+    loss2 = jnp.mean(picked.sum(0) * valid.astype(jnp.float32).sum(0)) \
+        / (b * b)
     return loss1 + beta * loss2
 
 

@@ -103,12 +103,10 @@ class Trainer:
 
     def run_epoch(self, loader, epoch: int, total_epochs: int = None) -> float:
         from dformer_tpu.data.augment import device_train_augment
-        from dformer_tpu.utils.profiling import StepTimer
 
         cfg = self.cfg
         loader.set_epoch(epoch)
         losses = []
-        timer = StepTimer()
         t0 = time.time()
         n = len(loader)
         multi = self.mesh is not None and \
@@ -137,7 +135,6 @@ class Trainer:
                 else jnp.asarray(cfg.norm_std, jnp.float32),
                 true_hw=(jnp.asarray(batch["hw"]) if "hw" in batch else None),
             )
-            timer.start()
             self.state, loss = self.step_fn(self.state, rgb, gt, modal_x,
                                             self.rng)
             # keep the loss lazy (device scalar) — no host sync per step;
@@ -145,9 +142,8 @@ class Trainer:
             # iter with an all-reduce, utils/train.py:329-330,377-381)
             losses.append(loss)
             if it % max(n // 10, 1) == 0:
-                # sync here so the EMA samples true device step time
-                # (including any queued backlog since the last sync)
-                timer.stop(loss)
+                # drain the queued steps so s/it includes real device time
+                jax.block_until_ready(loss)
                 remaining = (n - it - 1) + \
                     n * (max(total_epochs - epoch, 0) if total_epochs else 0)
                 sec_per_it = (time.time() - t0) / (it + 1)
@@ -155,7 +151,10 @@ class Trainer:
                 self.log(f"epoch {epoch} iter {it + 1}/{n} "
                          f"loss {float(loss):.4f} "
                          f"({sec_per_it:.2f}s/it, ETA {eta_s / 60:.1f}m)")
-        losses = [float(l) for l in losses]
+        # ONE transfer for the whole epoch series (per-scalar float() would
+        # pay n tunnel round-trips on this runtime)
+        losses = np.asarray(jax.device_get(jnp.stack(losses))).tolist() \
+            if losses else []
         if self.tb is not None:
             base = (epoch - 1) * n
             for i, l in enumerate(losses):

@@ -86,9 +86,30 @@ def main():
                 yield dict(rgb=rgb[lo:hi], gt=gt[lo:hi], modal_x=x[lo:hi])
 
     means = [float(trainer.run_epoch(FakeLoader(), e)) for e in (1, 2, 3)]
+
+    # the in-training eval path: a per-host Evaluator over a LOCAL mesh must
+    # accept the trainer's GLOBAL-mesh-committed variables (regression: a
+    # naive device_put of global arrays onto local devices raises a
+    # cross-host-transfer ValueError)
+    from dformer_tpu.eval.evaluate import Evaluator
+    from dformer_tpu.parallel.mesh import make_local_mesh
+
+    eval_vars = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    eval_mesh = make_local_mesh() if args.world > 1 else mesh
+    ev = Evaluator(model, eval_vars, cfg, mesh=eval_mesh)
+    r = np.random.RandomState(7)
+    vb = dict(rgb=r.rand(2, H, W, 3).astype(np.float32),
+              modal_x=r.rand(2, H, W, 3).astype(np.float32),
+              gt=r.randint(0, NCLS, (2, H, W)).astype(np.int64))
+    m = ev.evaluate([vb])
+    m.merge_across_processes()
+    _, miou = m.compute_iou()
+
     print("LOSSJSON " + json.dumps({
         "rank": args.rank,
         "means": means,
+        "miou": float(miou),
         "step": int(jax.device_get(trainer.state.step)),
     }))
 

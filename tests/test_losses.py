@@ -100,8 +100,10 @@ def test_sigmoid_focal_matches_reference_module():
 
 def test_rce_matches_torch_reimplementation():
     """RCELoss (utils/loss_opr.py:27-61) hardcodes .cuda() so it cannot run
-    here; the oracle is its math transcribed to CPU torch, quirks included
-    (invalid labels onehot to class 0, loss2 mean over all pixels)."""
+    here; the oracle is its math transcribed to CPU torch, quirks included:
+    invalid labels onehot to class 0, and `torch.mean(loss2*mask)` with
+    loss2 [b,h,w] vs mask [b,1,h,w] — which BROADCASTS to [b,b,h,w],
+    coupling sample j's NLL with sample i's mask."""
     import torch
     import torch.nn.functional as tF
 
@@ -125,7 +127,7 @@ def test_rce_matches_torch_reimplementation():
     loss1 = tF.nll_loss(weighted_pred, target, ignore_index=255)
     label_pred = torch.clamp(label_pred, min=1e-9, max=1.0 - 1e-9)
     loss2_map = tF.nll_loss(torch.log(label_pred), max_id, reduction="none")
-    loss2 = torch.mean(loss2_map * mask.squeeze(1))
+    loss2 = torch.mean(loss2_map * mask)  # [b,h,w]*[b,1,h,w] -> [b,b,h,w]
     want = float(loss1 + 0.01 * loss2)
 
     got = float(rce_loss(jnp.asarray(logits), jnp.asarray(labels)))

@@ -72,3 +72,8 @@ def test_two_process_training_matches_single_process():
     # and it reproduces the single-process global-batch run
     np.testing.assert_allclose(dist[0]["means"], ref["means"], atol=2e-4)
     assert dist[0]["step"] == ref["step"] == 6
+    # per-host eval on the local mesh consumed the global-mesh variables and
+    # merged hists; mIoU is ratio-based so duplicated per-rank hists match
+    # the single-process value
+    np.testing.assert_allclose(dist[0]["miou"], ref["miou"], atol=2e-2)
+    np.testing.assert_allclose(dist[0]["miou"], dist[1]["miou"], atol=1e-6)

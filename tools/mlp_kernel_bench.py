@@ -2,7 +2,6 @@
 
 Usage: python tools/mlp_kernel_bench.py [B H W C ratio]
 """
-import glob
 import os
 import sys
 import tempfile
@@ -11,24 +10,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def device_ms(logdir, prefix="jit_"):
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    files = glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb")
-    xs = xplane_pb2.XSpace()
-    with open(files[0], "rb") as f:
-        xs.ParseFromString(f.read())
-    total = 0.0
-    for plane in xs.planes:
-        if not plane.name.startswith("/device:"):
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                if md.name.startswith(prefix):
-                    total += ev.duration_ps / 1e9
-    return total
+from dformer_tpu.utils.profiling import device_time_ms as device_ms  # noqa
 
 
 def main():
