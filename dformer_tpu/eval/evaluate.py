@@ -190,11 +190,50 @@ class Evaluator:
 
     # -- public API ---------------------------------------------------------
 
+    @staticmethod
+    def _true_extent_batches(batches):
+        """Split variable-size canvas batches into true-extent groups.
+
+        Loader._collate zero-pads mixed-shape val batches to a common canvas
+        and records per-sample extents in batch["hw"]. Evaluating the canvas
+        is WRONG: pad pixels enter the conv receptive field and the MSF
+        ceil-32 geometry is computed from the canvas, contaminating logits at
+        valid pixels (gt=255 padding only protects the histogram). The
+        reference sidesteps this by evaluating variable-size datasets
+        (SUNRGBD) at batch=1 per GPU (utils/train.py:162). Here each sample
+        is cropped to its true (h, w) and samples of identical geometry are
+        re-batched, so every image is evaluated at its exact extent while
+        same-shape images still share one forward + one compiled executable.
+        """
+        for batch in batches:
+            hw = batch.get("hw")
+            if hw is None:
+                yield batch
+                continue
+            hw = np.asarray(hw)
+            groups = {}
+            for i, (h, w) in enumerate(hw):
+                groups.setdefault((int(h), int(w)), []).append(i)
+            for (h, w), idxs in groups.items():
+                sub = {}
+                for k, v in batch.items():
+                    if k == "hw":
+                        continue
+                    if hasattr(v, "ndim") and v.ndim >= 3:
+                        crops = [v[i, :h, :w] for i in idxs]
+                        sub[k] = jnp.stack(crops) if isinstance(
+                            v, jnp.ndarray) else np.stack(crops)
+                    elif isinstance(v, (list, tuple)):
+                        sub[k] = [v[i] for i in idxs]
+                    else:
+                        sub[k] = v
+                yield sub
+
     def evaluate(self, batches, save_hook: Optional[Callable] = None) -> Metrics:
         """Single-scale eval (reference evaluate, val_mm.py:102-207)."""
         metrics = Metrics(self.num_classes, self.background)
         step = self._get_jit("single")
-        for batch in batches:
+        for batch in self._true_extent_batches(batches):
             nb = batch["rgb"].shape[0]
             probs, hist = step(self._commit(batch["rgb"]),
                                self._commit(batch["modal_x"]),
@@ -210,7 +249,7 @@ class Evaluator:
         """Multi-scale + flip eval (reference evaluate_msf, val_mm.py:324-470)."""
         metrics = Metrics(self.num_classes, self.background)
         hist_fn = self._get_jit("hist")
-        for batch in batches:
+        for batch in self._true_extent_batches(batches):
             nb = batch["rgb"].shape[0]
             rgb = self._commit(batch["rgb"])
             modal = self._commit(batch["modal_x"])

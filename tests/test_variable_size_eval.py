@@ -1,0 +1,167 @@
+"""Variable-size (SUNRGBD-style) evaluation parity.
+
+The reference evaluates mixed-shape datasets one image at a time at each
+image's true extent (utils/train.py:162 forces val batch=1 per GPU for
+SUNRGBD; the val_mm.py:324-470 MSF loop then sees exact geometries). Our
+Loader._collate pads mixed-shape batches to a canvas and records per-sample
+extents in batch["hw"]; Evaluator._true_extent_batches must crop each sample
+back to its true shape so logits are NEVER computed over pad pixels.
+
+Oracle: the reference MSF+flip loop (torch F.interpolate, bs=1 per image)
+run per image at its true extent — same pattern as test_eval_parity.py.
+"""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from dformer_tpu.config import AttrDict
+from dformer_tpu.data.loader import Loader
+from dformer_tpu.eval.evaluate import Evaluator
+from tests.test_eval_parity import FakeSeg
+
+
+class _ListDataset:
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def _t_resize(x_np_nhwc, size, align):
+    t = torch.from_numpy(x_np_nhwc.transpose(0, 3, 1, 2))
+    t = tF.interpolate(t, size=size, mode="bilinear", align_corners=align)
+    return t.numpy().transpose(0, 2, 3, 1)
+
+
+def _reference_msf_hist(model, variables, items, scales, flip, num_classes):
+    """Reference evaluate_msf per image at its true extent (val_mm.py:
+    359-397 with the bs=1 loop the reference uses for SUNRGBD)."""
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for it in items:
+        rgb = it["rgb"][None]
+        modal = it["modal_x"][None]
+        gt = it["gt"][None]
+        H, W = gt.shape[1:3]
+        acc = np.zeros((1, H, W, num_classes), np.float32)
+        for scale in scales:
+            nh = int(math.ceil(int(scale * H) / 32)) * 32
+            nw = int(math.ceil(int(scale * W) / 32)) * 32
+            r = _t_resize(rgb, (nh, nw), True)
+            m = _t_resize(modal, (nh, nw), True)
+            logits = np.asarray(model.apply(variables, jnp.asarray(r),
+                                            jnp.asarray(m)))
+            logits = _t_resize(logits, (H, W), True)
+            acc += np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+            if flip:
+                rf, mf = r[:, :, ::-1].copy(), m[:, :, ::-1].copy()
+                logits = np.asarray(model.apply(variables, jnp.asarray(rf),
+                                                jnp.asarray(mf)))[:, :, ::-1]
+                logits = _t_resize(logits.copy(), (H, W), True)
+                acc += np.asarray(
+                    jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        pred = acc.argmax(-1)
+        keep = gt != 255
+        hist += np.bincount(
+            (gt[keep] * num_classes + pred[keep]).astype(np.int64),
+            minlength=num_classes * num_classes
+        ).reshape(num_classes, num_classes)
+    return hist
+
+
+def _mixed_items(seed=0):
+    rng = np.random.RandomState(seed)
+    shapes = [(32, 48), (24, 40), (32, 48)]  # two share a geometry
+    items = []
+    for h, w in shapes:
+        items.append(dict(
+            rgb=rng.rand(h, w, 3).astype(np.float32),
+            modal_x=rng.rand(h, w, 3).astype(np.float32),
+            gt=rng.randint(0, 5, (h, w)).astype(np.int32),
+        ))
+    return items
+
+
+def _setup():
+    cfg = AttrDict(num_classes=5, background=255, eval_crop_size=[16, 24],
+                   eval_stride_rate=2 / 3, dataset_name="SUNRGBD")
+    model = FakeSeg(num_classes=5)
+    rgb = jnp.zeros((1, 32, 48, 3))
+    variables = model.init(jax.random.PRNGKey(0), rgb, rgb)
+    return cfg, model, variables
+
+
+def test_mixed_shape_msf_matches_reference_bs1_loop():
+    cfg, model, variables = _setup()
+    items = _mixed_items()
+    scales, flip = [0.75, 1.0, 1.25], True
+
+    want = _reference_msf_hist(model, variables, items, scales, flip,
+                               cfg.num_classes)
+
+    # drive the REAL collate path: one mixed-shape batch of 3 -> canvas+hw
+    loader = Loader(_ListDataset(items), batch_size=3)
+    batches = list(loader)
+    assert len(batches) == 1 and "hw" in batches[0], \
+        "collate should pad mixed shapes and record hw"
+
+    ev = Evaluator(model, variables, cfg)
+    m = ev.evaluate_msf(batches, scales=scales, flip=flip)
+    np.testing.assert_array_equal(np.asarray(m.hist), want)
+
+    from dformer_tpu.ops.metrics import iou_from_hist
+
+    _, want_miou = iou_from_hist(want)
+    _, got_miou = m.compute_iou()
+    assert got_miou == want_miou
+
+
+def test_mixed_shape_single_scale_matches_per_image():
+    cfg, model, variables = _setup()
+    items = _mixed_items(seed=1)
+
+    # per-image oracle at true extents
+    hist = np.zeros((5, 5), np.int64)
+    for it in items:
+        logits = model.apply(variables, jnp.asarray(it["rgb"][None]),
+                             jnp.asarray(it["modal_x"][None]))
+        pred = np.asarray(jnp.argmax(logits, -1))[0]
+        keep = it["gt"] != 255
+        hist += np.bincount(
+            (it["gt"][keep] * 5 + pred[keep]).astype(np.int64),
+            minlength=25).reshape(5, 5)
+
+    loader = Loader(_ListDataset(items), batch_size=3)
+    m = Evaluator(model, variables, cfg).evaluate(list(loader))
+    np.testing.assert_array_equal(np.asarray(m.hist), hist)
+
+
+def test_true_extent_save_hook_gets_cropped_preds():
+    """save_hook must see true-extent predictions and the matching subset of
+    per-sample metadata (fn) for each geometry group."""
+    cfg, model, variables = _setup()
+    items = _mixed_items(seed=2)
+    for i, it in enumerate(items):
+        it["fn"] = f"img_{i}"
+    loader = Loader(_ListDataset(items), batch_size=3)
+
+    seen = []
+
+    def hook(preds, batch):
+        seen.append((preds.shape, list(batch["fn"])))
+
+    Evaluator(model, variables, cfg).evaluate(list(loader), save_hook=hook)
+    # group 1: imgs 0 and 2 at 32x48; group 2: img 1 at 24x40
+    shapes = {s for s, _ in seen}
+    assert shapes == {(2, 32, 48), (1, 24, 40)}
+    fns = sorted(fn for _, f in seen for fn in f)
+    assert fns == ["img_0", "img_1", "img_2"]
