@@ -33,19 +33,21 @@ class WandbHook:
             self._run.log(metrics, step=step)
 
     def log_fss_eval(self, epoch: int, metrics):
-        """Reference metric dict shape (train_trav_fss_v1.py:443-456)."""
+        """Reference metric dict shape (train_trav_fss_v1.py:443-456), with
+        per-class series logged as individual scalars — wandb stringifies a
+        list logged under one key, which silently breaks the series."""
         if self._run is None:
             return
         ious, miou = metrics.compute_iou()
         acc, macc = metrics.compute_pixel_acc()
         f1, mf1 = metrics.compute_f1()
-        self.log({
-            "epoch": epoch, "mIoU": miou, "mean Acc": macc, "mean F1": mf1,
-            "pixel Acc": acc,
-            "F1_cls_0": f1[0], "F1_cls_1": f1[1],
-            "IoU_cls_0": ious[0], "IoU_cls_1": ious[1],
-            "Acc_cls_0": acc[0], "Acc_cls_1": acc[1],
-        })
+        payload = {"epoch": epoch, "mIoU": miou, "mean Acc": macc,
+                   "mean F1": mf1}
+        for c, (i, a, f) in enumerate(zip(ious, acc, f1)):
+            payload[f"IoU_cls_{c}"] = float(i)
+            payload[f"Acc_cls_{c}"] = float(a)
+            payload[f"F1_cls_{c}"] = float(f)
+        self.log(payload)
 
     def finish(self):
         if self._run is not None:

@@ -28,8 +28,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_train_step(model, tx, cfg, mesh=None):
-    """Returns train_step(state, rgb, gt, modal_x, rng) -> (state, loss)."""
+def make_train_step(model, tx, cfg, mesh=None, with_coverage_flags=False):
+    """Returns train_step(state, rgb, gt, modal_x, rng) -> (state, loss).
+
+    with_coverage_flags=True appends per-leaf (grad != 0, update != 0) bool
+    vectors to the return — the step-1 coverage audit's inputs
+    (train/audit.py; reference missing-grad audit, utils/train.py:347-351).
+    The any(!=0) reductions cost one extra HBM read of the grad tree
+    (~0.2 ms for DFormer-L) and are computed in the same executable, so the
+    audited first step compiles once, not twice."""
     aux_rate = cfg.get("aux_rate", 0.0)
     background = cfg.background
 
@@ -54,8 +61,15 @@ def make_train_step(model, tx, cfg, mesh=None):
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=new_params,
-                          batch_stats=new_stats, opt_state=new_opt), loss
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        if with_coverage_flags:
+            gflags = jnp.stack([jnp.any(g != 0)
+                                for g in jax.tree.leaves(grads)])
+            uflags = jnp.stack([jnp.any(u != 0)
+                                for u in jax.tree.leaves(updates)])
+            return new_state, loss, (gflags, uflags)
+        return new_state, loss
 
     # Plain jit: shardings are inferred from the committed inputs (state
     # device_put replicated once, batches device_put batch-sharded by the
@@ -72,14 +86,25 @@ class Trainer:
     (reference utils/train.py epoch loop + engine checkpoint policy)."""
 
     def __init__(self, model, state: TrainState, tx, cfg, mesh=None,
-                 logger=None, seed: int = 8964, tb=None):
+                 logger=None, seed: int = 8964, tb=None,
+                 trainable_mask=None):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.logger = logger
         self.tb = tb
         self.rng = jax.random.PRNGKey(seed)
-        self.step_fn = make_train_step(model, tx, cfg, mesh)
+        self.step_fn = make_train_step(model, tx, cfg, mesh,
+                                       with_coverage_flags=True)
+        # step-1 coverage audit expectation (reference missing-grad audit,
+        # utils/train.py:347-351); None = everything expected trainable.
+        # Grad checks run after the first step; the update checks need a
+        # nonzero-LR step (warmup lr is 0 at iter 0, faithful to the
+        # reference, lr_policy.py:30) so the audit retries until one runs.
+        self.trainable_mask = trainable_mask
+        self._audited = False
+        self._audit_verbose = True
+        self._param_paths = None
         # commit the state replicated over the mesh once; batches are
         # committed batch-sharded per step — jit infers the DP shardings
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
@@ -135,8 +160,21 @@ class Trainer:
                 else jnp.asarray(cfg.norm_std, jnp.float32),
                 true_hw=(jnp.asarray(batch["hw"]) if "hw" in batch else None),
             )
-            self.state, loss = self.step_fn(self.state, rgb, gt, modal_x,
-                                            self.rng)
+            if not self._audited and self._param_paths is None:
+                from dformer_tpu.train.audit import param_paths
+
+                self._param_paths = param_paths(self.state.params)
+            self.state, loss, flags = self.step_fn(self.state, rgb, gt,
+                                                   modal_x, self.rng)
+            if not self._audited:
+                from dformer_tpu.train.audit import coverage_audit
+
+                report = coverage_audit(
+                    self._param_paths, *jax.device_get(flags),
+                    trainable_mask=self.trainable_mask, logger=self.logger,
+                    verbose_grad=self._audit_verbose)
+                self._audit_verbose = False
+                self._audited = report["complete"]
             # keep the loss lazy (device scalar) — no host sync per step;
             # per-iter series resolve at epoch end (reference logs every
             # iter with an all-reduce, utils/train.py:329-330,377-381)

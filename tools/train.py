@@ -124,7 +124,7 @@ def main():
 
         tb = TBWriter(cfg.get("tb_dir"), rank=engine.rank)
         trainer = Trainer(model, state, tx, cfg, mesh=mesh, logger=log,
-                          seed=engine.seed, tb=tb)
+                          seed=engine.seed, tb=tb, trainable_mask=tmask)
         train_loader = train_batches(cfg, shard=engine.data_shard(),
                                      synthetic=args.synthetic_data,
                                      native=args.native_loader)
@@ -195,7 +195,12 @@ def _val_iter(cfg, engine, args):
                                      jnp.asarray(cfg.norm_std, jnp.float32),
                                      jnp.asarray(x_mean, jnp.float32),
                                      jnp.asarray(x_std, jnp.float32))
-        yield dict(rgb=rgb, modal_x=modal, gt=b["gt"], fn=b.get("fn"))
+        out = dict(rgb=rgb, modal_x=modal, gt=b["gt"], fn=b.get("fn"))
+        if "hw" in b:
+            # variable-size (SUNRGBD) canvas batch: per-sample true extents,
+            # consumed by Evaluator._true_extent_batches
+            out["hw"] = b["hw"]
+        yield out
 
 
 if __name__ == "__main__":
