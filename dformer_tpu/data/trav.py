@@ -183,6 +183,21 @@ class FewShotTravRGBDDataset:
         )
 
 
+def class_episodes_to_meta_batch(b):
+    """Collated class-grouped episode batch (FewShotTravRGBDDataset keys
+    s_imgs/s_masks/s_depths [B,K,...] + q_* [B,Q,...]) -> the meta_forward
+    contract (s_img [B*Q,K,...], q_img [B*Q,...]): each of the Q query
+    images becomes an episode sharing its class's K-shot support set
+    (reference get_fs_train_loader episode unit, dataloader.py:229-323)."""
+    Q = b["q_imgs"].shape[1]
+    Bq = b["q_imgs"].shape[0] * Q
+    rep = lambda a: np.repeat(np.asarray(a), Q, axis=0)
+    flat = lambda a: np.asarray(a).reshape((Bq,) + a.shape[2:])
+    return dict(s_img=rep(b["s_imgs"]), s_gt=rep(b["s_masks"]),
+                s_depth=rep(b["s_depths"]), q_img=flat(b["q_imgs"]),
+                q_gt=flat(b["q_masks"]), q_depth=flat(b["q_depths"]))
+
+
 def load_trav_csv(path):
     import pandas as pd
 

@@ -112,11 +112,15 @@ class EncoderDecoder(fnn.Module):
         return jnp.sum(feat * m, axis=(1, 2)) / (jnp.sum(m, axis=(1, 2)) + 1e-5)
 
     def meta_forward(self, s_rgb, s_depth, s_mask, q_rgb, q_depth,
-                     train: bool = False, deterministic_bases: bool = True):
+                     train: bool = False, deterministic_bases: bool = True,
+                     return_episode: bool = False):
         """1-way few-shot episode forward.
 
         s_rgb: [B,S,H,W,3]; s_depth: [B,S,...] lidar or depth; s_mask: [B,S,H,W];
-        q_rgb: [B,H,W,3]; q_depth: [B,...]. Returns fused [B,H,W,2] logits.
+        q_rgb: [B,H,W,3]; q_depth: [B,...]. Returns fused [B,H,W,2] logits;
+        with return_episode=True also the episode internals (query top-stage
+        features + bg/fg prototypes) for the contrastive prototype loss
+        (reference ContrastiveLoss, builder.py:61-88).
         """
         B, S = s_rgb.shape[0], s_rgb.shape[1]
         H, W = q_rgb.shape[1:3]
@@ -146,7 +150,10 @@ class EncoderDecoder(fnn.Module):
         sim = resize_bilinear(sim, (H, W), align_corners=False)
 
         logits = self.decode(q_feats, (H, W), train, deterministic_bases)
-        return self.alpha * logits + (1.0 - self.alpha) * sim
+        fused = self.alpha * logits + (1.0 - self.alpha) * sim
+        if return_episode:
+            return fused, dict(q_top=top_q, fg=fg, bg=bg)
+        return fused
 
 
 def build_model(cfg, bn_axis_name=None, dtype=None,

@@ -1,6 +1,8 @@
 """Trav/FSS coverage: lidar expansion forward, meta_forward episodes,
 episodic train step with the restricted trainable mask, pseudo-label dump."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -103,6 +105,84 @@ def test_trav_prepare_batch():
     assert r.shape == (4, 32, 48, 3) and l.shape == (4, 360)
     # z-scored lidar: roughly centered given mean 3.71 on U[0,5) inputs
     assert abs(float(l.mean())) < 2.0
+
+
+def _write_class_fixture(root, n_per_class=3, hw=(64, 96)):
+    """Synthetic on-disk Trav manifest: per class, images whose mask contains
+    ONLY that class (so FewShotTravRGBDDataset groups them deterministically),
+    plus pickled LaserScan files."""
+    import pickle
+
+    import cv2
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    os.makedirs(f"{root}/images", exist_ok=True)
+    os.makedirs(f"{root}/labels", exist_ok=True)
+    os.makedirs(f"{root}/scans", exist_ok=True)
+    rows = []
+    for cls in (0, 1):
+        for i in range(n_per_class):
+            name = f"c{cls}_{i}"
+            img = rng.randint(0, 256, hw + (3,), np.uint8)
+            cv2.imwrite(f"{root}/images/{name}.png", img)
+            np.save(f"{root}/labels/{name}.npy",
+                    np.full(hw, cls, np.int64))
+            with open(f"{root}/scans/{name}.pkl", "wb") as f:
+                pickle.dump({"ranges": rng.rand(1080).astype(np.float32) * 5},
+                            f)
+            rows.append(dict(img=f"{root}/images/{name}.png",
+                             depth=f"{root}/scans/{name}.pkl"))
+    return pd.DataFrame(rows)
+
+
+def test_class_episode_pipeline_with_contrastive(tmp_path):
+    """One class-grouped episode through the new --class-episodes path
+    (FewShotTravRGBDDataset -> class_episodes_to_meta_batch -> FSS step with
+    the contrastive prototype term): finite loss, non-zero contrastive term
+    (reference get_fs_train_loader, dataloader.py:229-323 + ContrastiveLoss,
+    models/builder.py:61-88)."""
+    from dformer_tpu.data.loader import Loader
+    from dformer_tpu.data.trav import (FewShotTravRGBDDataset,
+                                       class_episodes_to_meta_batch)
+
+    df = _write_class_fixture(str(tmp_path))
+    ds = FewShotTravRGBDDataset(df, class_names=(0, 1), K=2, Q=1)
+    assert len(ds) == 2
+    assert all(len(v) == 3 for v in ds.class_to_rows.values())
+
+    (batch,) = list(Loader(ds, batch_size=2))
+    assert batch["s_imgs"].shape == (2, 2, 64, 96, 3)
+    assert batch["q_imgs"].shape == (2, 1, 64, 96, 3)
+    assert sorted(batch["cls"]) == [0, 1]
+    b = class_episodes_to_meta_batch(batch)
+    assert b["s_img"].shape == (2, 2, 64, 96, 3)
+    assert b["q_img"].shape == (2, 64, 96, 3)
+
+    cfg = trav_cfg()
+    model, variables = _init(cfg)
+    tmask = fss_trainable_mask(variables["params"])
+    tx = make_optimizer(cfg, variables["params"], tmask)
+    state = TrainState(step=jnp.asarray(0), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_fss_train_step(model, tx, cfg, contrastive_weight=0.1)
+
+    key = jax.random.PRNGKey(0)
+    s_img, s_laser, s_gt = trav_prepare_batch(
+        jnp.asarray(b["s_img"].reshape(4, 64, 96, 3)),
+        jnp.asarray(b["s_depth"].reshape(4, -1)), key,
+        jnp.asarray([0.5] * 3), jnp.asarray([0.3] * 3), False,
+        jnp.asarray(b["s_gt"].reshape(4, 64, 96)))
+    q_img, q_laser, q_gt = trav_prepare_batch(
+        jnp.asarray(b["q_img"]), jnp.asarray(b["q_depth"]), key,
+        jnp.asarray([0.5] * 3), jnp.asarray([0.3] * 3), False,
+        jnp.asarray(b["q_gt"]))
+    state, (loss, con) = step(
+        state, s_img.reshape(2, 2, 64, 96, 3), s_gt.reshape(2, 2, 64, 96),
+        s_laser.reshape(2, 2, -1), q_img, q_gt, q_laser, key)
+    assert np.isfinite(float(loss)), float(loss)
+    assert np.isfinite(float(con)) and float(con) != 0.0, float(con)
 
 
 def test_pseudo_label_dump(tmp_path):

@@ -16,6 +16,18 @@ def main():
     ap.add_argument("--s_csv", default=None, help="support manifest")
     ap.add_argument("--q_csv", default=None, help="query manifest")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--class-episodes", action="store_true",
+                    help="class-grouped episodes (reference "
+                         "get_fs_train_loader, dataloader.py:229-323): rows "
+                         "grouped by dominant mask class, each episode draws "
+                         "K support + Q query from one class's pool; adds "
+                         "the contrastive prototype term")
+    ap.add_argument("--queries", type=int, default=1,
+                    help="Q query images per class episode")
+    ap.add_argument("--contrastive-weight", type=float, default=0.1,
+                    help="weight of the prototype InfoNCE term in "
+                         "--class-episodes mode (reference ContrastiveLoss, "
+                         "models/builder.py:61-88)")
     args = ap.parse_args()
 
     import jax
@@ -24,6 +36,7 @@ def main():
     from dformer_tpu.config import load_config
     from dformer_tpu.data.loader import Loader
     from dformer_tpu.data.trav import (FewShotTravDatasetBinary,
+                                       FewShotTravRGBDDataset,
                                        load_trav_csv, trav_prepare_batch)
     from dformer_tpu.models import build_model
     from dformer_tpu.runtime.engine import Engine
@@ -45,12 +58,18 @@ def main():
         s_df = s_df[s_df["label"].notna() & (s_df["label"] != "")]
         q_df = load_trav_csv(args.q_csv or cfg.eval_source)
 
-        train_ds = FewShotTravDatasetBinary(
-            s_df, q_df, n_shots=cfg.shots,
-            max_iters=cfg.episodes_per_epoch)
+        if args.class_episodes:
+            train_ds = FewShotTravRGBDDataset(
+                s_df, class_names=(0, 1), K=cfg.shots, Q=args.queries)
+            batch = min(cfg.batch_size, len(train_ds))
+        else:
+            train_ds = FewShotTravDatasetBinary(
+                s_df, q_df, n_shots=cfg.shots,
+                max_iters=cfg.episodes_per_epoch)
+            batch = cfg.batch_size
         val_ds = FewShotTravDatasetBinary(
             s_df, q_df, n_shots=cfg.shots, max_iters=cfg.eval_iterations)
-        train_loader = Loader(train_ds, cfg.batch_size, shuffle=False,
+        train_loader = Loader(train_ds, batch, shuffle=False,
                               drop_last=True, shard=engine.data_shard())
         cfg.niters_per_epoch = max(len(train_loader), 1)
 
@@ -72,7 +91,8 @@ def main():
         state = TrainState(step=jnp.asarray(0), params=variables["params"],
                            batch_stats=variables["batch_stats"],
                            opt_state=tx.init(variables["params"]))
-        step = make_fss_train_step(model, tx, cfg)
+        con_w = args.contrastive_weight if args.class_episodes else 0.0
+        step = make_fss_train_step(model, tx, cfg, contrastive_weight=con_w)
         ckpt = CheckpointManager(cfg.checkpoint_dir, keep=5, logger=log)
         from dformer_tpu.runtime.wandb import WandbHook
 
@@ -96,15 +116,24 @@ def main():
                     s_gt.reshape((B, S) + s_gt.shape[1:]),
                     s_laser.reshape(B, S, -1), q_img, q_gt, q_laser)
 
+        from dformer_tpu.data.trav import class_episodes_to_meta_batch
+
         best = 0.0
         for epoch in range(1, epochs + 1):
             train_loader.set_epoch(epoch)
             for it, b in enumerate(train_loader):
+                if args.class_episodes:
+                    b = class_episodes_to_meta_batch(b)
                 k = jax.random.fold_in(key, epoch * 10007 + it)
                 s_img, s_gt, s_laser, q_img, q_gt, q_laser = prep(b, k, True)
                 state, loss = step(state, s_img, s_gt, s_laser, q_img, q_gt,
                                    q_laser, key)
-            log.info(f"epoch {epoch}/{epochs} loss {float(loss):.4f}")
+            if con_w > 0:
+                total, con = loss
+                log.info(f"epoch {epoch}/{epochs} loss {float(total):.4f} "
+                         f"(contrastive {float(con):.4f} @ w={con_w})")
+            else:
+                log.info(f"epoch {epoch}/{epochs} loss {float(loss):.4f}")
 
             def val_batches():
                 for b in Loader(val_ds, 1):
