@@ -32,7 +32,8 @@ _P = jax.lax.Precision.HIGHEST
 
 
 def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
-          train: bool = False, one_step_grad: bool = True):
+          train: bool = False, one_step_grad: bool = True,
+          precision=_P):
     """Non-negative matrix factorization refinement.
 
     x: [B, N, D] non-negative features; bases: [B, D, R] initial bases.
@@ -51,31 +52,38 @@ def nmf2d(x, bases, train_steps: int = 6, eval_steps: int = 7,
     numerically explosive — tiny denominators square in the VJP — and
     produces NaNs from random init, so it is opt-in via
     one_step_grad=False.)
+
+    precision: HIGHEST (default) for fp32 parity eval; the bf16 model path
+    passes DEFAULT — one MXU pass instead of the 6-pass fp32 emulation —
+    matching the reference's own fp16-autocast eval conditions
+    (train.sh --val_amp). Ratios/eps stay fp32 either way.
     """
     x = x.astype(jnp.float32)
     bases = bases.astype(jnp.float32)
     eps = 1e-6
 
     def update_coef(x_, bases_, coef):
-        numer = jnp.einsum("bnd,bdr->bnr", x_, bases_, precision=_P)
+        numer = jnp.einsum("bnd,bdr->bnr", x_, bases_, precision=precision)
         denom = jnp.einsum("bnr,brs->bns", coef,
                            jnp.einsum("bdr,bds->brs", bases_, bases_,
-                                      precision=_P), precision=_P)
+                                      precision=precision),
+                           precision=precision)
         return coef * numer / (denom + eps)
 
     x_iter = jax.lax.stop_gradient(x) if (train and one_step_grad) else x
     coef = jax.nn.softmax(jnp.einsum("bnd,bdr->bnr", x_iter, bases,
-                                     precision=_P), axis=-1)
+                                     precision=precision), axis=-1)
     steps = train_steps if train else eval_steps
     for _ in range(steps):
         coef = update_coef(x_iter, bases, coef)
-        numer = jnp.einsum("bnd,bnr->bdr", x_iter, coef, precision=_P)
+        numer = jnp.einsum("bnd,bnr->bdr", x_iter, coef, precision=precision)
         denom = jnp.einsum("bdr,brs->bds", bases,
                            jnp.einsum("bnr,bns->brs", coef, coef,
-                                      precision=_P), precision=_P)
+                                      precision=precision),
+                           precision=precision)
         bases = bases * numer / (denom + eps)
     coef = update_coef(x, bases, coef)
-    return jnp.einsum("bdr,bnr->bnd", bases, coef, precision=_P)
+    return jnp.einsum("bdr,bnr->bnd", bases, coef, precision=precision)
 
 
 def _uniform_bases(key, b, d, r):
@@ -111,7 +119,11 @@ class Hamburger(fnn.Module):
         bases = _uniform_bases(key, B, self.ham_channels, self.md_r)
 
         flat = enjoy.reshape(B, H * W, self.ham_channels)
-        flat = nmf2d(flat, bases, train=train)
+        # bf16 model -> one-pass MXU matmuls (DEFAULT); fp32 parity eval
+        # keeps the 6-pass HIGHEST emulation
+        prec = _P if self.dtype in (None, jnp.float32) else \
+            jax.lax.Precision.DEFAULT
+        flat = nmf2d(flat, bases, train=train, precision=prec)
         enjoy = flat.reshape(B, H, W, self.ham_channels).astype(x.dtype)
 
         enjoy = ConvBNReLU(self.ham_channels, 1, with_bn=True, with_relu=False,
