@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--val_batch_size", type=int, default=4)
     ap.add_argument("--synthetic-data", action="store_true")
     ap.add_argument("--save_path", default=None)
+    ap.add_argument("--parity-check", action="store_true",
+                    help="print mIoU delta vs the reference's published "
+                         "number for this config (NYU DFormer-L 57.2 / "
+                         "SUNRGBD DFormer-L 52.5, reference README.md:"
+                         "133-134; tolerance ±0.2 per BASELINE.json). Run "
+                         "with the released checkpoint via --continue_fpath "
+                         "and the real dataset on disk.")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +107,25 @@ def main():
             log.info(f"  {name}: {iou}")
         log.info(f"mIoU {miou} mAcc {macc} mF1 {mf1}")
         print(dict(mIoU=miou, mAcc=macc, mF1=mf1))
+        if args.parity_check:
+            import json
+
+            # published MSF-eval targets, reference README.md:133-134
+            targets = {("NYUDepthv2", "DFormer-Large"): 57.2,
+                       ("SUNRGBD", "DFormer-Large"): 52.5}
+            target = targets.get((cfg.dataset_name, cfg.backbone))
+            tol = 0.2  # BASELINE.json parity tolerance
+            if target is None:
+                print(json.dumps(dict(
+                    parity_check="no published target for "
+                                 f"{cfg.dataset_name}/{cfg.backbone}",
+                    mIoU=miou)))
+            else:
+                delta = round(miou - target, 2)
+                print(json.dumps(dict(
+                    mIoU=miou, target=target, delta_vs_target=delta,
+                    tolerance=tol, within_tolerance=abs(delta) <= tol,
+                    synthetic=bool(args.synthetic_data))))
 
 
 if __name__ == "__main__":
