@@ -55,7 +55,7 @@ def _pick_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
     for th in range(1, h + 1):
         if h % th:
             continue
-        x_tile = (th + 2) * wp * cp * itemsize
+        x_tile = 2 * (th + 2) * wp * cp * itemsize  # double-buffered input
         h_tile = (th + 2) * wp * ch * 4
         stack = int(2.0 * h_tile)
         if x_tile + h_tile + stack <= budget_bytes:
@@ -63,23 +63,26 @@ def _pick_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
     return best
 
 
-# erf(x) ~= clip(x)*P(clip(x)^2): degree-9 Chebyshev-fit polynomial on
-# [0, 3.2] with the INPUT clamped (erf(3.2) = 1 - 6e-6, so clamping is
-# exact to that level). Max abs error 1.04e-4 in fp32 Horner — far below
-# the bf16 output rounding (~8e-3 relative).
+# erf(x) ~= clip(x)*P(clip(x)^2): degree-6 Chebyshev-fit polynomial on
+# [0, 2.5] with the INPUT clamped. The clamp is chosen for the GELU
+# consumer: 0.5*h*(1+erf_poly(h/sqrt2)) has max abs error 7.7e-4 over all
+# h — far below the bf16 output rounding (~8e-3 relative at activation
+# scale ~4). Cutting the round-2 degree-9/[0,3.2] fit to degree 6 removes
+# 3 Horner FMAs per hidden element in a VPU-bound kernel: measured
+# 1.792 -> 1.576 ms/call at the DFormer-L stage-0 shape (ablation: gelu
+# was 0.61 ms of the 1.79 — conv 0.78, matmuls+DMA 0.70).
 _ERF_COEF = (
-    1.12837360786395, -0.3760067861649412, 0.11240998780295644,
-    -0.0262640509517288, 0.0047839569871558916, -0.0006632664032985942,
-    6.66115328009782e-05, -4.496101902094742e-06, 1.8023235218673599e-07,
-    -3.215700570892291e-09)
+    1.128327841545965, -0.3752161375254132, 0.11017227865151494,
+    -0.02386296372461015, 0.0035287012695947024, -0.000310355563933048,
+    1.198749466543182e-05)
 
 
 def _erf(x):
     """Polynomial erf: Mosaic has no erf lowering, and the exp-based
     Abramowitz-Stegun form used in round 1 is ~2x the VPU ops (divide +
-    exp) — this kernel is VPU-bound, and switching measured 2.09 -> 1.79
-    ms/call at the DFormer-L stage-1 bench shape."""
-    xc = jnp.clip(x, -3.2, 3.2)
+    exp) — this kernel is VPU-bound. Only valid as the GELU inner term
+    (clamped at 2.5 where erf = 0.99959; standalone use would truncate)."""
+    xc = jnp.clip(x, -2.5, 2.5)
     t = xc * xc
     acc = jnp.full_like(x, np.float32(_ERF_COEF[-1]))
     for c in _ERF_COEF[-2::-1]:
@@ -92,18 +95,38 @@ def _kernel(x_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
             C: int, CP: int, Ch: int, eps: float):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    ni_total = pl.num_programs(1)
 
-    # DMA the (Th+2, WP, CP) halo tile of this program from HBM. WP is W+2
-    # rounded to the 8-sublane DMA granularity and CP is C rounded to the
-    # 128-lane granularity (Mosaic requires slice DMAs aligned to tiling);
-    # the padding columns/channels are zeros and masked/sliced out below.
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * Th, Th + 2)], x_tile, sem)
-    cp.start()
-    cp.wait()
+    # Double-buffered halo-tile DMA: grid iterations run sequentially on
+    # the core, so each program prefetches the NEXT program's (Th+2, WP, CP)
+    # tile while computing on its own — the serial start();wait() version
+    # stalled every iteration on HBM latency. WP is W+2 rounded to the
+    # 8-sublane DMA granularity and CP is C rounded to the 128-lane
+    # granularity (Mosaic requires slice DMAs aligned to tiling); the
+    # padding columns/channels are zeros and masked/sliced out below.
+    lin = b * ni_total + i
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def tile_dma(slot_, b_, i_):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_, pl.ds(i_ * Th, Th + 2)], x_tile.at[slot_],
+            sem.at[slot_])
+
+    @pl.when(lin == 0)
+    def _():
+        tile_dma(slot, b, i).start()
+
+    @pl.when(lin + 1 < pl.num_programs(0) * ni_total)
+    def _():
+        nxt_b = jnp.where(i + 1 < ni_total, b, b + 1)
+        nxt_i = jnp.where(i + 1 < ni_total, i + 1, 0)
+        tile_dma(nslot, nxt_b, nxt_i).start()
+
+    tile_dma(slot, b, i).wait()
 
     rows = (Th + 2) * WP
-    xf = x_tile[:, :, :C].reshape(rows, C).astype(jnp.float32)
+    xf = x_tile[slot, :, :, :C].reshape(rows, C).astype(jnp.float32)
 
     # LayerNorm (fp32, matching models/nn.py LayerNorm)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -178,9 +201,9 @@ def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Th + 2, WP, CP), x.dtype),
+            pltpu.VMEM((2, Th + 2, WP, CP), x.dtype),  # double-buffered
             pltpu.VMEM((Th + 2, WP, Ch), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
