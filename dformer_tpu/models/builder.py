@@ -85,7 +85,11 @@ class EncoderDecoder(fnn.Module):
                deterministic_bases: bool = True):
         out = self.decode_head(features, train=train,
                                deterministic_bases=deterministic_bases)
-        return resize_bilinear(out, out_hw, align_corners=False)
+        # bf16 model path: MXU-native one-pass logits upsample (the fp32
+        # HIGHEST emulation + its 393 MB f32 intermediate cost ~1 ms/iter
+        # at 480x640 bs8); fp32 parity eval keeps the exact form
+        return resize_bilinear(out, out_hw, align_corners=False,
+                               fast_bf16=self.dtype == jnp.bfloat16)
 
     def __call__(self, rgb, modal_x, train: bool = False,
                  deterministic_bases: bool = True):

@@ -61,12 +61,21 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(src, 0, in_size - 1)
 
 
-def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
+def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False,
+                    fast_bf16: bool = False) -> jnp.ndarray:
     """Bilinear resize of an NHWC tensor to `size = (H, W)`.
 
     Matches torch.nn.functional.interpolate(mode='bilinear') bit-for-bit in
     fp32 up to matmul reassociation. Computation runs in fp32 and is cast
     back to the input dtype.
+
+    fast_bf16=True on a bf16 input runs the two weight matmuls as native
+    MXU bf16 dots with fp32 accumulation instead of the multi-pass fp32
+    HIGHEST emulation, and keeps the (OH, IW) intermediate in bf16 — for
+    the bf16 model path's own upsamples (the full-res logits resize was
+    ~1 ms/iter of f32 emulation + a 393 MB f32 intermediate at the bench
+    shape). Interpolation weights are exact in bf16 only up to rounding;
+    parity-critical (fp32 eval) callers leave this off.
     """
     out_h, out_w = int(size[0]), int(size[1])
     b, in_h, in_w, c = x.shape
@@ -75,6 +84,12 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     dt = x.dtype
     wh = jnp.asarray(_linear_weights(in_h, out_h, align_corners))
     ww = jnp.asarray(_linear_weights(in_w, out_w, align_corners))
+    if fast_bf16 and dt == jnp.bfloat16:
+        y = jnp.einsum("hi,biwc->bhwc", wh.astype(dt), x,
+                       preferred_element_type=jnp.float32).astype(dt)
+        y = jnp.einsum("wj,bhjc->bhwc", ww.astype(dt), y,
+                       preferred_element_type=jnp.float32)
+        return y.astype(dt)
     y = x.astype(jnp.float32)
     # (OH, IH) @ (B, IH, IW, C) over H, then over W. Precision HIGHEST: on TPU
     # fp32 matmuls default to bf16 passes, which would break eval parity.
