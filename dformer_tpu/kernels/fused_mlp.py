@@ -63,31 +63,14 @@ def _pick_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
     return best
 
 
-# erf(x) ~= clip(x)*P(clip(x)^2): degree-6 Chebyshev-fit polynomial on
-# [0, 2.5] with the INPUT clamped. The clamp is chosen for the GELU
-# consumer: 0.5*h*(1+erf_poly(h/sqrt2)) has max abs error 7.7e-4 over all
-# h — far below the bf16 output rounding (~8e-3 relative at activation
-# scale ~4). Cutting the round-2 degree-9/[0,3.2] fit to degree 6 removes
-# 3 Horner FMAs per hidden element in a VPU-bound kernel: measured
-# 1.792 -> 1.576 ms/call at the DFormer-L stage-0 shape (ablation: gelu
-# was 0.61 ms of the 1.79 — conv 0.78, matmuls+DMA 0.70).
-_ERF_COEF = (
-    1.128327841545965, -0.3752161375254132, 0.11017227865151494,
-    -0.02386296372461015, 0.0035287012695947024, -0.000310355563933048,
-    1.198749466543182e-05)
-
-
-def _erf(x):
-    """Polynomial erf: Mosaic has no erf lowering, and the exp-based
-    Abramowitz-Stegun form used in round 1 is ~2x the VPU ops (divide +
-    exp) — this kernel is VPU-bound. Only valid as the GELU inner term
-    (clamped at 2.5 where erf = 0.99959; standalone use would truncate)."""
-    xc = jnp.clip(x, -2.5, 2.5)
-    t = xc * xc
-    acc = jnp.full_like(x, np.float32(_ERF_COEF[-1]))
-    for c in _ERF_COEF[-2::-1]:
-        acc = acc * t + np.float32(c)
-    return xc * acc
+# Polynomial erf: Mosaic has no erf lowering, and the exp-based
+# Abramowitz-Stegun form used in round 1 is ~2x the VPU ops (divide + exp)
+# — this kernel is VPU-bound. GELU-scoped clamped degree-6 fit shared with
+# the XLA bf16 path; cutting the round-2 degree-9/[0,3.2] fit to degree 6
+# removed 3 Horner FMAs per hidden element: measured 1.792 -> 1.576 ms/call
+# at the DFormer-L stage-0 shape (ablation: gelu was 0.61 ms of the 1.79 —
+# conv 0.78, matmuls+DMA 0.70).
+from dformer_tpu.ops.activations import poly_erf as _erf  # noqa: E402
 
 
 def _kernel(x_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,

@@ -23,6 +23,13 @@ from flax import linen as fnn
 
 
 def gelu(x):
+    # bf16 activations: the clamped-polynomial erf is exact to bf16 rounding
+    # and transcendental-free (VPU-bound fusions; see ops/activations.py).
+    # fp32 (parity eval / CPU tests) keeps XLA's exact erf.
+    if x.dtype == jnp.bfloat16:
+        from dformer_tpu.ops.activations import poly_gelu
+
+        return poly_gelu(x)
     return jax.nn.gelu(x, approximate=False)
 
 
