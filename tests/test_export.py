@@ -1,0 +1,60 @@
+"""AOT serving export: serialize -> deserialize -> call must reproduce the
+live model's logits, with a symbolic batch dimension serving any batch size
+(runtime/export.py; the reference has no AOT path — utils/infer.py:1-80
+rebuilds the torch model per process)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dformer_tpu.config import AttrDict
+from dformer_tpu.models import build_model
+from dformer_tpu.runtime.export import (export_forward, load_exported,
+                                        save_exported)
+
+HW = (32, 48)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = AttrDict(
+        backbone="DFormer-Tiny", decoder="ham", num_classes=6,
+        decoder_embed_dim=64, drop_path_rate=0.0, aux_rate=0.0,
+        bn_eps=1e-3, bn_momentum=0.1, background=255,
+        image_height=HW[0], image_width=HW[1])
+    model = build_model(cfg)
+    z = jnp.zeros((1, HW[0], HW[1], 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, z)
+    return model, variables
+
+
+def test_export_roundtrip_matches_live_forward(tiny, tmp_path):
+    model, variables = tiny
+    exported = export_forward(model, variables, HW, batch=None,
+                              platforms=["cpu"])
+    path = save_exported(exported, str(tmp_path / "model.shlo"))
+    ex = load_exported(path)
+
+    rng = np.random.RandomState(0)
+    for b in (1, 3):  # symbolic batch: one artifact, any batch size
+        rgb = rng.rand(b, HW[0], HW[1], 3).astype(np.float32)
+        modal = rng.rand(b, HW[0], HW[1], 3).astype(np.float32)
+        got = np.asarray(ex.call(rgb, modal))
+        want = np.asarray(model.apply(variables, rgb, modal, train=False,
+                                      deterministic_bases=True))
+        assert got.shape == (b, HW[0], HW[1], 6)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_export_fixed_batch_spec(tiny, tmp_path):
+    model, variables = tiny
+    exported = export_forward(model, variables, HW, batch=2,
+                              platforms=["cpu"])
+    ex = load_exported(save_exported(exported, str(tmp_path / "m2.shlo")))
+    rgb = np.zeros((2, HW[0], HW[1], 3), np.float32)
+    out = np.asarray(ex.call(rgb, rgb))
+    assert out.shape == (2, HW[0], HW[1], 6)
+    with pytest.raises(ValueError):
+        bad = np.zeros((1, HW[0], HW[1], 3), np.float32)
+        ex.call(bad, bad)
