@@ -121,3 +121,29 @@ def test_warmup_poly_matches_reference():
         got = float(warmup_poly_lr(step, base, total, warm, power))
         # schedule math runs in fp32 inside the jitted step
         assert got == pytest.approx(ref(step), rel=1e-5, abs=1e-10)
+
+
+def test_poly_gelu_error_below_bf16_rounding():
+    """The clamped degree-6 poly-erf GELU (ops/activations.py) must stay
+    within its documented ~7.7e-4 abs-error bound vs exact-erf GELU, and be
+    exactly representable-equal after bf16 rounding for typical activation
+    magnitudes (the bf16 fast path in models/nn.gelu)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dformer_tpu.ops.activations import poly_gelu
+
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    poly = poly_gelu(x)
+    assert float(jnp.max(jnp.abs(poly - exact))) < 8e-4
+
+    # bf16 in/out path: identical to rounding the exact activation for
+    # almost all inputs; tolerance one bf16 ulp at |y| <= 8
+    xb = x.astype(jnp.bfloat16)
+    got = poly_gelu(xb).astype(jnp.float32)
+    want = jax.nn.gelu(xb.astype(jnp.float32),
+                       approximate=False).astype(jnp.bfloat16)
+    diff = jnp.abs(got - want.astype(jnp.float32))
+    assert float(jnp.max(diff)) <= 0.0625  # 1 ulp of bf16 at scale 8
