@@ -35,12 +35,25 @@ def main():
                            deterministic_bases=True)
 
     lowered = jax.jit(forward).lower(jnp.zeros(shape), jnp.zeros(shape))
-    cost = lowered.compile().cost_analysis()
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
     flops = cost.get("flops", float("nan"))
     print(f"config: {args.config} input {args.height}x{args.width}")
     print(f"params: {n_params / 1e6:.2f} M")
     print(f"flops:  {flops / 1e9:.2f} GFLOPs (XLA cost analysis)")
     print(f"bytes accessed: {cost.get('bytes accessed', float('nan')) / 1e9:.2f} GB")
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        # device-memory budget of the compiled executable (HBM on TPU):
+        # what production sizing actually needs, absent in the reference's
+        # thop-based harness (utils/benchmark.py counts only MACs/params)
+        tot = (mem.argument_size_in_bytes + mem.output_size_in_bytes +
+               mem.temp_size_in_bytes + mem.generated_code_size_in_bytes)
+        print(f"device memory: args {mem.argument_size_in_bytes / 1e6:.1f} MB, "
+              f"outputs {mem.output_size_in_bytes / 1e6:.1f} MB, "
+              f"temps {mem.temp_size_in_bytes / 1e6:.1f} MB, "
+              f"code {mem.generated_code_size_in_bytes / 1e6:.1f} MB, "
+              f"total {tot / 1e6:.1f} MB")
 
 
 if __name__ == "__main__":
