@@ -62,9 +62,10 @@ class Evaluator:
     resolution (EncoderDecoder.__call__)."""
 
     def __init__(self, model, variables, cfg, sliding: bool = False,
-                 mesh=None):
+                 mesh=None, forward: Optional[Callable] = None):
         self.model = model
         self.cfg = cfg
+        self._forward_override = forward
         self.sliding = sliding
         self.num_classes = cfg.num_classes
         self.background = cfg.background
@@ -102,8 +103,20 @@ class Evaluator:
     # -- compiled building blocks ------------------------------------------
 
     def _forward(self, rgb, modal):
+        if self._forward_override is not None:
+            return self._forward_override(rgb, modal)
         return self.model.apply(self.variables, rgb, modal, train=False,
                                 deterministic_bases=True)
+
+    @classmethod
+    def from_exported(cls, exported, cfg, mesh=None):
+        """Serve an AOT artifact (runtime/export.py): the artifact's call
+        replaces model.apply. Fixed input H×W (the artifact's lowered
+        shape), so single-scale `evaluate` only — the deployment mode; MSF
+        needs per-scale shapes and stays on the live-model path."""
+        fwd = (lambda rgb, modal: exported.call(
+            rgb.astype(jnp.float32), modal.astype(jnp.float32)))
+        return cls(None, {}, cfg, sliding=False, mesh=mesh, forward=fwd)
 
     def _model_logits(self, rgb, modal):
         """Whole-image or sliding-window logits at input resolution."""

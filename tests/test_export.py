@@ -58,3 +58,25 @@ def test_export_fixed_batch_spec(tiny, tmp_path):
     with pytest.raises(ValueError):
         bad = np.zeros((1, HW[0], HW[1], 3), np.float32)
         ex.call(bad, bad)
+
+
+def test_evaluator_from_exported_matches_live(tiny, tmp_path):
+    """Serving path: Evaluator.from_exported must produce the exact same
+    confusion hist as the live-model Evaluator (tools/eval.py --exported)."""
+    from dformer_tpu.config import AttrDict
+    from dformer_tpu.eval.evaluate import Evaluator
+
+    model, variables = tiny
+    cfg = AttrDict(num_classes=6, background=255)
+    exported = export_forward(model, variables, HW, batch=None,
+                              platforms=["cpu"])
+    ex = load_exported(save_exported(exported, str(tmp_path / "m.shlo")))
+
+    rng = np.random.RandomState(1)
+    batch = dict(rgb=rng.rand(2, HW[0], HW[1], 3).astype(np.float32),
+                 modal_x=rng.rand(2, HW[0], HW[1], 3).astype(np.float32),
+                 gt=rng.randint(0, 6, (2, HW[0], HW[1])).astype(np.int32))
+    hist_live = Evaluator(model, variables, cfg).evaluate([batch]).hist
+    hist_srv = Evaluator.from_exported(ex, cfg).evaluate([batch]).hist
+    np.testing.assert_array_equal(np.asarray(hist_srv),
+                                  np.asarray(hist_live))

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--val_batch_size", type=int, default=4)
     ap.add_argument("--synthetic-data", action="store_true")
     ap.add_argument("--save_path", default=None)
+    ap.add_argument("--exported", default=None,
+                    help="serve an AOT artifact (tools/export.py) instead "
+                         "of a checkpoint: single-scale eval at the "
+                         "artifact's lowered resolution (implies --no-mst)")
     ap.add_argument("--parity-check", action="store_true",
                     help="print mIoU delta vs the reference's published "
                          "number for this config (NYU DFormer-L 57.2 / "
@@ -52,13 +56,19 @@ def main():
     cfg = load_config(args.config)
     with Engine(cfg, make_dirs=False) as engine:
         log = engine.logger
-        dtype = jnp.bfloat16 if args.amp else None
-        model = build_model(cfg, dtype=dtype)
-        shape = (1, cfg.image_height, cfg.image_width, 3)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                        jnp.zeros(shape), jnp.zeros(shape))
+        if args.exported:
+            from dformer_tpu.runtime.export import load_exported
 
-        if args.continue_fpath:
+            args.mst = False
+            model, variables = None, {}
+        else:
+            dtype = jnp.bfloat16 if args.amp else None
+            model = build_model(cfg, dtype=dtype)
+            shape = (1, cfg.image_height, cfg.image_width, 3)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                            jnp.zeros(shape), jnp.zeros(shape))
+
+        if args.continue_fpath and not args.exported:
             if args.continue_fpath.endswith((".pth", ".pt", ".pth.tar")):
                 sd = load_torch_checkpoint(args.continue_fpath)
                 p, s = convert_model_state(sd)
@@ -82,7 +92,13 @@ def main():
         from dformer_tpu.parallel.mesh import make_local_mesh, make_mesh
 
         mesh = make_local_mesh() if jax.process_count() > 1 else make_mesh()
-        ev = Evaluator(model, variables, cfg, sliding=args.sliding, mesh=mesh)
+        if args.exported:
+            ev = Evaluator.from_exported(load_exported(args.exported), cfg,
+                                         mesh=mesh)
+            log.info(f"serving AOT artifact {args.exported}")
+        else:
+            ev = Evaluator(model, variables, cfg, sliding=args.sliding,
+                           mesh=mesh)
         from tools.train import _val_iter
         batches = _val_iter(cfg, engine, args)
 
