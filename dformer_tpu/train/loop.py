@@ -126,7 +126,11 @@ class Trainer:
         else:
             print(msg, flush=True)
 
-    def run_epoch(self, loader, epoch: int, total_epochs: int = None) -> float:
+    def run_epoch(self, loader, epoch: int, total_epochs: int = None,
+                  guard=None) -> float:
+        """guard: optional runtime.preempt.PreemptionGuard — when it flips
+        to requested, stop before the next step (the in-flight one
+        completes; the driver checkpoints the live state)."""
         from dformer_tpu.data.augment import device_train_augment
 
         cfg = self.cfg
@@ -137,6 +141,10 @@ class Trainer:
         multi = self.mesh is not None and \
             np.prod(list(self.mesh.shape.values())) > 1
         for it, batch in enumerate(loader):
+            if guard is not None and guard.requested:
+                self.log(f"epoch {epoch} stopped by preemption after "
+                         f"{it}/{n} iterations")
+                break
             key = jax.random.fold_in(self.rng, epoch * 100003 + it)
             if multi:
                 # forms the GLOBAL batch: under multi-host each host

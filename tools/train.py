@@ -128,14 +128,28 @@ def main():
         train_loader = train_batches(cfg, shard=engine.data_shard(),
                                      synthetic=args.synthetic_data,
                                      native=args.native_loader)
+        from dformer_tpu.runtime.preempt import PreemptionGuard
+
+        guard = PreemptionGuard(logger=log).install()
         best_miou = 0.0
         for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
             mean_loss = trainer.run_epoch(train_loader, epoch,
-                                          total_epochs=cfg.nepochs)
+                                          total_epochs=cfg.nepochs,
+                                          guard=guard)
             tb.scalar("train/loss", mean_loss, epoch)
             log.info(f"epoch {epoch}/{cfg.nepochs} loss {mean_loss:.4f} "
                      f"({time.time() - t0:.1f}s)")
+            if guard.requested:
+                # preemption: save the live state under this epoch (resume
+                # continues at epoch+1; best_miou keys retention so the
+                # rescue checkpoint is never the pruning victim) and exit 0
+                # within the SIGTERM grace window
+                rescue = ckpt.save(trainer.state, epoch, best_miou,
+                                   extra={"preempted": True})
+                log.info(f"preempted during epoch {epoch}: state saved; "
+                         f"resume with --continue_fpath={rescue}")
+                break
             if is_eval(epoch, cfg):
                 eval_vars = {"params": trainer.state.params,
                              "batch_stats": trainer.state.batch_stats}
