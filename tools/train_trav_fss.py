@@ -117,9 +117,16 @@ def main():
                     s_laser.reshape(B, S, -1), q_img, q_gt, q_laser)
 
         from dformer_tpu.data.trav import class_episodes_to_meta_batch
+        from dformer_tpu.runtime.preempt import PreemptionGuard
 
+        guard = PreemptionGuard(logger=log).install()
         best = 0.0
         for epoch in range(1, epochs + 1):
+            if guard.requested:
+                rescue = ckpt.save(state, epoch - 1, best,
+                                   extra={"preempted": True})
+                log.info(f"preempted: state saved; resume from {rescue}")
+                break
             train_loader.set_epoch(epoch)
             for it, b in enumerate(train_loader):
                 if args.class_episodes:
