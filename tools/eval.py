@@ -59,7 +59,11 @@ def main():
         if args.exported:
             from dformer_tpu.runtime.export import load_exported
 
+            if args.mst or args.sliding:
+                log.info("--exported serves the artifact's single lowered "
+                         "shape: MSF/sliding disabled for this run")
             args.mst = False
+            args.sliding = False
             model, variables = None, {}
         else:
             dtype = jnp.bfloat16 if args.amp else None

@@ -19,6 +19,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--continue_fpath", default=None)
+    ap.add_argument("--exported", default=None,
+                    help="serve an AOT artifact (tools/export.py) instead "
+                         "of a checkpoint")
     ap.add_argument("--save_path", required=True)
     ap.add_argument("--mst", action=argparse.BooleanOptionalAction,
                     default=True)
@@ -35,6 +38,8 @@ def main():
                 "--val_batch_size", str(args.val_batch_size)]
     if args.continue_fpath:
         sys.argv += ["--continue_fpath", args.continue_fpath]
+    if args.exported:
+        sys.argv += ["--exported", args.exported]
     sys.argv += ["--mst" if args.mst else "--no-mst"]
     sys.argv += ["--sliding" if args.sliding else "--no-sliding"]
     sys.argv += ["--amp" if args.amp else "--no-amp"]
