@@ -28,10 +28,28 @@ import time
 import numpy as np
 
 
+def _wait_for_backend(attempts: int = 3, delay_s: float = 60.0):
+    """The tunneled TPU backend occasionally reports Unavailable for a
+    stretch; retry init a few times before giving up so a transient flake
+    doesn't zero out the benchmark run."""
+    import jax
+
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts - 1} "
+                  f"in {delay_s:.0f}s", flush=True)
+            time.sleep(delay_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _wait_for_backend()
     from __graft_entry__ import _build
 
     batch = 8
