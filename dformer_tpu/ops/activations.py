@@ -34,3 +34,9 @@ def poly_gelu(x):
     xf = x.astype(jnp.float32)
     y = 0.5 * xf * (1.0 + poly_erf(xf * np.float32(0.7071067811865476)))
     return y.astype(x.dtype)
+
+# NOTE (measured, do not revisit blindly): a closed-form transcendental-free
+# derivative of poly_gelu was evaluated for the fused-MLP backward and
+# rejected — the clamp makes d/dx spike to 2.2e-2 abs error at |x|~3.5
+# (activation-scale territory) vs the exact gelu', and the backward is not
+# VPU-bound enough to justify that gradient noise.
