@@ -46,15 +46,23 @@ def _wait_for_backend(attempts: int = 3, delay_s: float = 60.0):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="DFormer-Large",
+                    help="variant to bench (the driver contract is the "
+                         "default DFormer-Large line)")
+    args = ap.parse_args()
 
     _wait_for_backend()
     from __graft_entry__ import _build
 
     batch = 8
     reps = 20
-    _, model, variables = _build("DFormer-Large", (480, 640), 40,
+    _, model, variables = _build(args.backbone, (480, 640), 40,
                                  dtype=jnp.bfloat16)
 
     @jax.jit
@@ -89,12 +97,14 @@ def main():
     per_iter_ms = (dev_ms / reps) if dev_ms else (wall_ms / reps)
     ips = batch / (per_iter_ms / 1000.0)
 
-    baseline_a100_ips = 60.0
+    baseline_a100_ips = 60.0  # calibrated for DFormer-Large (BENCH_NOTES.md)
+    slug = args.backbone.lower().replace("dformer-", "dformer_")
     print(json.dumps({
-        "metric": "dformer_large_480x640_infer_throughput",
+        "metric": f"{slug}_480x640_infer_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / baseline_a100_ips, 3),
+        "vs_baseline": (round(ips / baseline_a100_ips, 3)
+                        if args.backbone == "DFormer-Large" else None),
     }))
 
 
