@@ -113,7 +113,9 @@ class Evaluator:
         """Serve an AOT artifact (runtime/export.py): the artifact's call
         replaces model.apply. Fixed input H×W (the artifact's lowered
         shape), so single-scale `evaluate` only — the deployment mode; MSF
-        needs per-scale shapes and stays on the live-model path."""
+        needs per-scale shapes and stays on the live-model path. Serving is
+        single-device per process (mesh sharding across an artifact call is
+        not validated — the artifact was lowered without shardings)."""
         fwd = (lambda rgb, modal: exported.call(
             rgb.astype(jnp.float32), modal.astype(jnp.float32)))
         return cls(None, {}, cfg, sliding=False, mesh=mesh, forward=fwd)

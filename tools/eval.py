@@ -97,8 +97,9 @@ def main():
 
         mesh = make_local_mesh() if jax.process_count() > 1 else make_mesh()
         if args.exported:
-            ev = Evaluator.from_exported(load_exported(args.exported), cfg,
-                                         mesh=mesh)
+            # single-device serving: the artifact was lowered without
+            # shardings (see Evaluator.from_exported)
+            ev = Evaluator.from_exported(load_exported(args.exported), cfg)
             log.info(f"serving AOT artifact {args.exported}")
         else:
             ev = Evaluator(model, variables, cfg, sliding=args.sliding,
