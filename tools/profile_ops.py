@@ -40,6 +40,22 @@ def op_breakdown(logdir, top=150):
     print(f"total op time: {total:.1f} ms")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ms:9.2f} ms  {cnt[name]:5d}x  {name[:110]}")
+    # grouped view: fold per-block instances (%fusion.123 -> fusion) keyed by
+    # op family + result shape, so the long tail of small per-block ops is
+    # visible instead of scattered below the per-op cutoff
+    import re
+
+    grp = defaultdict(float)
+    gcnt = defaultdict(int)
+    for name, ms in agg.items():
+        m = re.match(r"%([a-zA-Z_0-9\-]+?)(?:\.\d+)?\s*=\s*(\(?\w+\[[^\]]*\])",
+                     name)
+        key = f"{m.group(1)} {m.group(2)}" if m else name[:60]
+        grp[key] += ms
+        gcnt[key] += cnt[name]
+    print("\n--- grouped by op family + result shape ---")
+    for key, ms in sorted(grp.items(), key=lambda kv: -kv[1])[:60]:
+        print(f"{ms:9.2f} ms  {gcnt[key]:5d}x  {key[:100]}")
 
 
 def main():
