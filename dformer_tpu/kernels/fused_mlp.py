@@ -196,6 +196,248 @@ def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
     )(xp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
 
 
+def _pick_bwd_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
+                       budget_bytes: int = 12 * 2 ** 20):
+    """Largest Th dividing h whose backward-kernel VMEM footprint fits.
+
+    Buffers: h1 tile (Th+4 rows, fp32), dg/dhc tile (Th+2, fp32), y0
+    (Th+4, C fp32), rstd, the two DMA-staged input tiles, the weight
+    operands, the fp32 weight-grad accumulators, and ~6 live row-sized fp32
+    temporaries from the unrolled per-row chains (the row chunking is what
+    bounds the Mosaic stack — whole-tile elementwise chains tripled the
+    footprint). Returns None when even Th=1 does not fit (caller falls back
+    to the XLA backward).
+
+    Th is additionally capped at 8: the per-row passes are Python-unrolled
+    (Th+2 iterations), and Mosaic's *stack* grows with the unroll count
+    beyond what the buffer model sees — a Th=30 tile at (30,40,144→576)
+    measured 19.25M of scoped allocation against this model's 11.5M
+    (> the 16M limit), while every Th≤8 config tried fits. The cap costs
+    nothing: the kernel is bandwidth/VPU-bound per row, and more grid
+    steps over the same rows do the same work."""
+    wpx = -(-(w + 4) // 8) * 8
+    cp = -(-c // 128) * 128
+    fixed = (2 * c * ch + 9 * ch) * itemsize          # fc1_w, fc2_w, pos_w
+    fixed += (2 * c * ch + 9 * ch + 2 * ch + 2 * c) * 4   # f32 accumulators
+    fixed += 6 * wpx * ch * 4                          # row temporaries
+    best = None
+    for th in range(1, min(h, 8) + 1):
+        if h % th:
+            continue
+        total = fixed
+        total += (th + 4) * wpx * ch * 4               # h1
+        total += (th + 2) * wpx * ch * 4               # dg/dhc
+        total += (th + 4) * wpx * (c + 1) * 4          # y0 + rstd
+        total += (th + 4) * wpx * cp * itemsize        # x DMA tile
+        total += (th + 2) * wpx * cp * itemsize        # g DMA tile
+        if total <= budget_bytes:
+            best = th
+    return best
+
+
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
+                dx_ref, dlnw_ref, dlnb_ref, dfc1w_ref, dfc1b_ref, dposw_ref,
+                dposb_ref, dfc2w_ref, dfc2b_ref,
+                x_tile, g_tile, h1_ref, dhc_ref, semx, semg,
+                *, Th: int, W: int, WPX: int, C: int, CP: int, Ch: int,
+                eps: float):
+    """Backward of the fused MLP, one (B, H/Th) tile per program.
+
+    Every hidden-sized tensor lives in VMEM: h1 is recomputed from the x
+    halo tile (2 rows/cols of halo — dhc needs 1 and the dwconv another),
+    dhc is computed in place over dg, and the per-row chains (gelu', the
+    9 conv-transpose / weight-grad taps, LayerNorm backward) run row-chunked
+    so Mosaic's stack stays bounded. Weight grads accumulate into fp32 VMEM
+    outputs revisited by every program ("arbitrary" grid semantics)."""
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    lin = b * ni + i
+
+    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
+                          semx).start()
+    pltpu.make_async_copy(g_hbm.at[b, pl.ds(i * Th, Th + 2)], g_tile,
+                          semg).start()
+
+    @pl.when(lin == 0)
+    def _():
+        for ref in (dlnw_ref, dlnb_ref, dfc1w_ref, dfc1b_ref, dposw_ref,
+                    dposb_ref, dfc2w_ref, dfc2b_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
+                          semx).wait()
+
+    # --- recompute LayerNorm (fp32, matching the forward kernel); the
+    # per-row stats needed again in pass 2 are recomputed there (cheaper
+    # than a (Th+4, WPX, C) y0 stash at C-sized cost) ---
+    rows = (Th + 4) * WPX
+    xf = x_tile[:, :, :C].reshape(rows, C).astype(f32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y0 = (xf - mean) * jax.lax.rsqrt(var + eps)
+
+    lnw = ln_w[:].astype(f32)
+    lnb = ln_b[:].astype(f32)
+    y = (y0 * lnw + lnb).astype(fc1_w.dtype)
+
+    # --- recompute h1 = fc1(y), zero outside the true image ---
+    h = jnp.dot(y, fc1_w[:], preferred_element_type=f32)
+    h = (h + fc1_b[:].astype(f32)).reshape(Th + 4, WPX, Ch)
+    gr = i * Th + jax.lax.broadcasted_iota(jnp.int32, (Th + 4, WPX, 1), 0) - 2
+    gc = jax.lax.broadcasted_iota(jnp.int32, (Th + 4, WPX, 1), 1) - 2
+    num_rows = ni * Th
+    valid = ((gr >= 0) & (gr < num_rows) & (gc >= 0) & (gc < W))
+    h1_ref[...] = h * valid.astype(f32)
+
+    pltpu.make_async_copy(g_hbm.at[b, pl.ds(i * Th, Th + 2)], g_tile,
+                          semg).wait()
+
+    # --- dg = g @ fc2_w^T over the whole g tile (zero halo rows/cols of g
+    # make the out-of-image dhc exactly zero, as the real computation has
+    # no such outputs) ---
+    g2 = g_tile[:, :, :C].reshape((Th + 2) * WPX, C)
+    dg = jax.lax.dot_general(g2, fc2_w[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dhc_ref[...] = dg.reshape(Th + 2, WPX, Ch)
+
+    posw = pos_w[:].astype(f32)
+    posb = pos_b[:].astype(f32)
+    c_half = np.float32(0.7071067811865476)
+    c_pdf = np.float32(0.3989422804014327)
+    We = W + 2
+
+    # --- row pass 1: hc recompute + gelu' -> dhc (in place over dg);
+    # center rows also feed dfc2_w and the dwconv weight-grad taps ---
+    for r in range(Th + 2):
+        acc = None
+        for dr in range(3):
+            for dc in range(3):
+                term = h1_ref[r + dr, dc:dc + We, :] * posw[dr, dc]
+                acc = term if acc is None else acc + term
+        hc = acc + posb + h1_ref[r + 1, 1:We + 1, :]
+        # gelu'(hc): inner + hc*pdf with the A&S-7.1.26 erf — its exp(-s^2)
+        # IS the gaussian pdf term (s^2 = hc^2/2), so one exp serves both.
+        s = hc * c_half
+        e = jnp.exp(-s * s)
+        t = 1.0 / (1.0 + np.float32(0.3275911) * jnp.abs(s))
+        p = np.float32(_AS_ERF[4])
+        for coef in _AS_ERF[3::-1]:
+            p = p * t + np.float32(coef)
+        erf_abs = 1.0 - p * t * e
+        inner = 0.5 * (1.0 + jnp.where(s >= 0, erf_abs, -erf_abs))
+        dhc = dhc_ref[r, :We, :] * (inner + hc * (e * c_pdf))
+        dhc_ref[r, :We, :] = dhc
+        if 1 <= r <= Th:
+            gact = (hc * inner).astype(fc2_w.dtype)
+            grow = g_tile[r, 1:W + 1, :C]
+            dfc2w_ref[...] += jax.lax.dot_general(
+                gact[1:W + 1], grow, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            for k in range(3):
+                for l in range(3):
+                    dposw_ref[k * 3 + l, :] += jnp.sum(
+                        dhc[1:W + 1] * h1_ref[r + k, 1 + l:1 + l + W, :],
+                        axis=0)
+            dposb_ref[...] += jnp.sum(dhc[1:W + 1], axis=0)
+
+    dfc2b_ref[...] += jnp.sum(
+        g_tile[1:Th + 1, 1:W + 1, :C].astype(f32), axis=(0, 1))
+
+    # --- row pass 2: conv-transpose -> dh1, fc1/LN backward -> dx ---
+    for p in range(Th):
+        dh1 = dhc_ref[p + 1, 1:W + 1, :]
+        for k in range(3):
+            for l in range(3):
+                dh1 = dh1 + dhc_ref[p + 2 - k, 2 - l:2 - l + W, :] * posw[k, l]
+        # per-row LN stats recompute (x_tile is still resident)
+        xrow = x_tile[p + 2, 2:W + 2, :C].astype(f32)
+        mu = jnp.mean(xrow, axis=-1, keepdims=True)
+        va = jnp.mean(jnp.square(xrow - mu), axis=-1, keepdims=True)
+        rst = jax.lax.rsqrt(va + eps)
+        y0p = (xrow - mu) * rst
+        yp = (y0p * lnw + lnb).astype(fc1_w.dtype)
+        dh1c = dh1.astype(fc1_w.dtype)
+        dfc1w_ref[...] += jax.lax.dot_general(
+            yp, dh1c, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dfc1b_ref[...] += jnp.sum(dh1, axis=0)
+        dy = jax.lax.dot_general(dh1c, fc1_w[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+        dlnw_ref[...] += jnp.sum(dy * y0p, axis=0)
+        dlnb_ref[...] += jnp.sum(dy, axis=0)
+        dyn = dy * lnw
+        m1 = jnp.mean(dyn, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyn * y0p, axis=-1, keepdims=True)
+        dx = rst * (dyn - m1 - y0p * m2)
+        dx_ref[0, p] = dx.astype(dx_ref.dtype)
+
+
+def _backward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
+                     g, eps: float, Th: int, interpret: bool):
+    B, H, W, C = x.shape
+    Ch = fc1_w.shape[1]
+    WPX = -(-(W + 4) // 8) * 8
+    CP = -(-C // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, WPX - W - 2), (0, CP - C)))
+    gp = jnp.pad(g.astype(x.dtype),
+                 ((0, 0), (1, 1), (1, WPX - W - 1), (0, CP - C)))
+
+    kern = functools.partial(_bwd_kernel, Th=Th, W=W, WPX=WPX, C=C, CP=CP,
+                             Ch=Ch, eps=eps)
+    f32 = jnp.float32
+    acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    flops = 5 * 2 * B * H * W * C * Ch + 27 * 2 * B * H * W * Ch
+    outs = pl.pallas_call(
+        kern,
+        grid=(B, H // Th),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[
+            pl.BlockSpec((1, Th, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            acc_spec((C,)), acc_spec((C,)), acc_spec((C, Ch)),
+            acc_spec((Ch,)), acc_spec((9, Ch)), acc_spec((Ch,)),
+            acc_spec((Ch, C)), acc_spec((C,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct((C,), f32),
+            jax.ShapeDtypeStruct((C,), f32),
+            jax.ShapeDtypeStruct((C, Ch), f32),
+            jax.ShapeDtypeStruct((Ch,), f32),
+            jax.ShapeDtypeStruct((9, Ch), f32),
+            jax.ShapeDtypeStruct((Ch,), f32),
+            jax.ShapeDtypeStruct((Ch, C), f32),
+            jax.ShapeDtypeStruct((C,), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Th + 4, WPX, CP), x.dtype),
+            pltpu.VMEM((Th + 2, WPX, CP), x.dtype),
+            pltpu.VMEM((Th + 4, WPX, Ch), f32),
+            pltpu.VMEM((Th + 2, WPX, Ch), f32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=B * H * W * Ch),
+        interpret=interpret,
+    )(xp, gp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w)
+    (dx, dlnw, dlnb, dfc1w, dfc1b, dposw, dposb, dfc2w, dfc2b) = outs
+    return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
+            dfc1w.astype(fc1_w.dtype), dfc1b.astype(fc1_b.dtype),
+            dposw.reshape(3, 3, Ch).astype(pos_w.dtype),
+            dposb.astype(pos_b.dtype), dfc2w.astype(fc2_w.dtype),
+            dfc2b.astype(fc2_b.dtype))
+
+
 def fused_mlp_reference(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
                         fc2_b, eps: float = 1e-6):
     """Plain-XLA reference of the same math (used for the backward pass and
@@ -236,6 +478,37 @@ def _fwd(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b, eps,
 
 def _bwd(eps, interpret, res, g):
     """Hand-written backward in the kernel's compute dtype.
+
+    bf16 (the training path) dispatches to the Pallas backward kernel
+    (_bwd_kernel) only at shapes where it measured faster than the XLA
+    backward (fwd+grad ms/call, bs8 DFormer-L stages, v5e):
+
+        120x160 C96/768   6.43 vs 8.87   pallas   (stage-0 main, Th=4)
+        120x160 C48/384   3.25 vs 4.34   pallas   (stage-0 e,    Th=8)
+         60x80  C96/768   1.55 vs 1.75   pallas   (stage-1 e,    Th=6)
+         60x80  C192/1536 5.75 vs 3.71   XLA      (Th=1: 5x halo traffic)
+         30x40  C288/1152 0.88 vs 0.60   XLA      (small grid, MXU-bound)
+         30x40  C144/576  0.43 vs 0.34   XLA
+         15x20  C288/1152 0.32 vs 0.17   XLA
+
+    The pattern: the kernel wins where the hidden tensor's HBM traffic
+    dominates (large spatial) AND the row tile is big enough that the
+    2-row halo isn't the traffic (Th>=4); at Th=1 the halo quintuples the
+    x reads, and at small spatial XLA's one-shot batched matmuls win.
+    Gate: Th>=4 and H*W>=4800. fp32 (parity tests) keeps the XLA
+    backward."""
+    x = res[0]
+    if x.dtype == jnp.bfloat16:
+        B, H, W, C = x.shape
+        Ch = res[3].shape[1]
+        th = _pick_bwd_row_tile(H, W, C, Ch, x.dtype.itemsize)
+        if th is not None and th >= 4 and H * W >= 4800:
+            return _backward_pallas(*res, g, eps, th, interpret)
+    return _bwd_xla(eps, res, g)
+
+
+def _bwd_xla(eps, res, g):
+    """XLA fallback backward (exact reference VJP math).
 
     Round 2 differentiated fused_mlp_reference with jax.vjp; XLA's backward
     materialized the ratio-8 hidden FOUR ways per stage-0 block ((bf16,f32)

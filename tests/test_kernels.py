@@ -48,6 +48,69 @@ def test_fused_mlp_grad_matches_reference():
                                    rtol=1e-4)
 
 
+def test_fused_mlp_bwd_kernel_matches_xla_backward():
+    """The Pallas backward kernel (bf16 dispatch) against the XLA backward
+    on the same bf16 inputs: same math, same compute dtype — differences
+    are bf16 rounding of intermediates the kernel keeps in fp32 VMEM (the
+    XLA path casts h1/dhc to bf16 between ops) plus the A&S-vs-exact erf
+    (1.5e-7)."""
+    from dformer_tpu.kernels import fused_mlp as fm
+
+    B, H, W, C, r = 2, 8, 12, 16, 4
+    Ch = C * r
+    x = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32),
+                    jnp.bfloat16)
+    ps = _mlp_params(C, Ch)
+    ps[2] = ps[2].astype(jnp.bfloat16)   # fc1_w (cast at the call site in
+    ps[4] = ps[4].astype(jnp.bfloat16)   # MLPBlock)  pos_w
+    ps[6] = ps[6].astype(jnp.bfloat16)   # fc2_w
+    g = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
+
+    res = (x, *ps)
+    th = fm._pick_bwd_row_tile(H, W, C, Ch, 2)
+    assert th is not None
+    got = fm._backward_pallas(*res, g, 1e-6, th, True)
+    want = fm._bwd_xla(1e-6, res, g)
+    names = ["dx", "dln_w", "dln_b", "dfc1_w", "dfc1_b", "dpos_w", "dpos_b",
+             "dfc2_w", "dfc2_b"]
+    for name, a, b in zip(names, got, want):
+        assert a.dtype == b.dtype and a.shape == b.shape, name
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-2,
+                                   err_msg=name)
+
+
+def test_fused_mlp_bwd_kernel_vs_fp32_oracle():
+    """End-to-end jax.grad through the bf16 kernel dispatch path vs the
+    fp32 reference VJP — catches systematic errors the same-dtype
+    comparison above would share (halo/masking mistakes shift means, not
+    rounding). The shape must clear the Th>=4 / H*W>=4800 dispatch gate in
+    fused_mlp._bwd so jax.grad actually reaches the Pallas kernel."""
+    from dformer_tpu.kernels import fused_mlp as fm
+
+    B, H, W, C, r = 1, 60, 80, 8, 4
+    assert fm._pick_bwd_row_tile(H, W, C, C * r, 2) >= 4
+    x32 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
+    ps = _mlp_params(C, C * r)
+
+    def loss_k(x, w):
+        out = fm.fused_mlp(x.astype(jnp.bfloat16), ps[0], ps[1],
+                           w.astype(jnp.bfloat16), ps[3],
+                           ps[4].astype(jnp.bfloat16), ps[5],
+                           ps[6].astype(jnp.bfloat16), ps[7], 1e-6, True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x32, ps[2])
+    gr = jax.grad(lambda x, w: jnp.sum(fused_mlp_reference(
+        x, ps[0], ps[1], w, *ps[3:])), argnums=(0, 1))(x32, ps[2])
+    for a, b in zip(gk, gr):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-2)
+
+
 def test_mlpblock_pallas_path_matches_standard():
     """MLPBlock(use_pallas) vs standard path with the SAME params."""
     from dformer_tpu.models.encoder import MLPBlock

@@ -1,6 +1,7 @@
 """Microbenchmark the fused MLP kernel vs the XLA reference at a bench shape.
 
 Usage: python tools/mlp_kernel_bench.py [B H W C ratio]
+       GRAD=1 python tools/mlp_kernel_bench.py ...   # value+grad step
 """
 import os
 import sys
@@ -38,16 +39,44 @@ def main():
     fc2_b = jnp.asarray(rng.normal(0, 0.05, (C,)).astype(np.float32))
     inputs = (x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
 
-    pallas_fn = jax.jit(lambda *a: fused_mlp(*a))
-    xla_fn = jax.jit(lambda *a: fused_mlp_reference(*a))
+    if os.environ.get("GRAD"):
+        # full VJP step: pallas forward + pallas backward kernel (bf16
+        # dispatch) vs pallas forward + XLA backward (_bwd_xla via a
+        # shadowed dispatch) — isolates the backward-kernel win.
+        from dformer_tpu.kernels import fused_mlp as fm
+
+        def val_grad(fn):
+            def loss(*a):
+                return jnp.sum(fn(*a).astype(jnp.float32))
+            return jax.jit(jax.grad(loss, argnums=tuple(range(9))))
+
+        pallas_fn = val_grad(fused_mlp)
+
+        @jax.custom_vjp
+        def mlp_xbwd(*a):
+            return fm._forward_pallas(*a, 1e-6, False)
+
+        mlp_xbwd.defvjp(lambda *a: (fm._forward_pallas(*a, 1e-6, False), a),
+                        lambda res, g: fm._bwd_xla(1e-6, res, g))
+        xla_fn = val_grad(mlp_xbwd)
+    else:
+        pallas_fn = jax.jit(lambda *a: fused_mlp(*a))
+        xla_fn = jax.jit(lambda *a: fused_mlp_reference(*a))
 
     out_p = jax.block_until_ready(pallas_fn(*inputs))
     out_x = jax.block_until_ready(xla_fn(*inputs))
-    err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
-                                - out_x.astype(jnp.float32))))
-    scale = float(jnp.max(jnp.abs(out_x.astype(jnp.float32))))
-    print(f"shape B{B} {H}x{W} C{C} ratio{ratio}: max|pallas-xla|={err:.4f} "
-          f"(scale {scale:.2f})")
+    if isinstance(out_p, tuple):
+        for j, (a, b) in enumerate(zip(out_p, out_x)):
+            err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                        - b.astype(jnp.float32))))
+            scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) or 1.0
+            print(f"grad[{j}]: max|pallas-xla|={err:.4f} rel={err / scale:.4f}")
+    else:
+        err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
+                                    - out_x.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(out_x.astype(jnp.float32))))
+        print(f"shape B{B} {H}x{W} C{C} ratio{ratio}: max|pallas-xla|={err:.4f} "
+              f"(scale {scale:.2f})")
 
     reps = 30
     todo = (("pallas", pallas_fn),) if os.environ.get("SKIP_XLA") \
