@@ -196,43 +196,72 @@ def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
     )(xp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
 
 
-def _pick_bwd_row_tile(h: int, w: int, c: int, ch: int, itemsize: int,
-                       budget_bytes: int = 12 * 2 ** 20):
-    """Largest Th dividing h whose backward-kernel VMEM footprint fits.
+def _max_row_tile(h, w, c, cc, itemsize, budget_bytes):
+    """Largest Th (≤8, dividing h) whose backward VMEM footprint fits for a
+    Cc-wide hidden-channel chunk.
 
     Buffers: h1 tile (Th+4 rows, fp32), dg/dhc tile (Th+2, fp32), y0
     (Th+4, C fp32), rstd, the two DMA-staged input tiles, the weight
-    operands, the fp32 weight-grad accumulators, and ~6 live row-sized fp32
-    temporaries from the unrolled per-row chains (the row chunking is what
-    bounds the Mosaic stack — whole-tile elementwise chains tripled the
-    footprint). Returns None when even Th=1 does not fit (caller falls back
-    to the XLA backward).
+    operand chunks, the fp32 weight-grad accumulator chunks, and ~6 live
+    row-sized fp32 temporaries from the unrolled per-row chains (the row
+    chunking is what bounds the Mosaic stack — whole-tile elementwise
+    chains tripled the footprint).
 
-    Th is additionally capped at 8: the per-row passes are Python-unrolled
-    (Th+2 iterations), and Mosaic's *stack* grows with the unroll count
-    beyond what the buffer model sees — a Th=30 tile at (30,40,144→576)
-    measured 19.25M of scoped allocation against this model's 11.5M
-    (> the 16M limit), while every Th≤8 config tried fits. The cap costs
-    nothing: the kernel is bandwidth/VPU-bound per row, and more grid
-    steps over the same rows do the same work."""
+    Th is capped at 8: the per-row passes are Python-unrolled (Th+2
+    iterations), and Mosaic's *stack* grows with the unroll count beyond
+    what the buffer model sees — a Th=30 tile at (30,40,144→576) measured
+    19.25M of scoped allocation against this model's 11.5M (> the 16M
+    limit), while every Th≤8 config tried fits. The cap costs nothing:
+    the kernel is bandwidth/VPU-bound per row, and more grid steps over
+    the same rows do the same work."""
     wpx = -(-(w + 4) // 8) * 8
     cp = -(-c // 128) * 128
-    fixed = (2 * c * ch + 9 * ch) * itemsize          # fc1_w, fc2_w, pos_w
-    fixed += (2 * c * ch + 9 * ch + 2 * ch + 2 * c) * 4   # f32 accumulators
-    fixed += 6 * wpx * ch * 4                          # row temporaries
+    fixed = (2 * c * cc + 9 * cc) * itemsize          # fc1_w, fc2_w, pos_w
+    fixed += (2 * c * cc + 9 * cc + 2 * cc + 2 * c) * 4   # f32 accumulators
+    fixed += 6 * wpx * cc * 4                          # row temporaries
     best = None
     for th in range(1, min(h, 8) + 1):
         if h % th:
             continue
         total = fixed
-        total += (th + 4) * wpx * ch * 4               # h1
-        total += (th + 2) * wpx * ch * 4               # dg/dhc
+        total += (th + 4) * wpx * cc * 4               # h1
+        total += (th + 2) * wpx * cc * 4               # dg/dhc
         total += (th + 4) * wpx * (c + 1) * 4          # y0 + rstd
         total += (th + 4) * wpx * cp * itemsize        # x DMA tile
         total += (th + 2) * wpx * cp * itemsize        # g DMA tile
         if total <= budget_bytes:
             best = th
     return best
+
+
+def _pick_bwd_tiling(h: int, w: int, c: int, ch: int, itemsize: int,
+                     budget_bytes: int = 12 * 2 ** 20):
+    """Pick (Th, Cc): row tile and hidden-channel chunk for the backward.
+
+    The hidden pipeline (fc1 → depthwise 3x3 → gelu → fc2) is separable in
+    the hidden channel: chunks are independent through the dwconv/gelu, and
+    every gradient — including the LayerNorm dx, whose means are linear in
+    dy — is additive over chunks. So when the full-Ch tile only fits at a
+    tiny Th (stage-1 main: Ch=1536 forces Th=1, where the 2-row halo
+    quintuples the x traffic and the kernel measured 5.75 vs XLA's 3.71 ms),
+    halving Cc trades one extra pass over the x/g tiles (bf16, C-sized —
+    cheap) for a real row tile over the fp32 Ch-sized buffers (expensive).
+
+    Preference order: full Ch at Th>=4 (the proven config), then the
+    largest power-of-two fraction of Ch (lane-aligned: multiple of 128)
+    that reaches Th>=4, else the best full-Ch tile (caller gates on Th)."""
+    full = _max_row_tile(h, w, c, ch, itemsize, budget_bytes)
+    if full is not None and full >= 4:
+        return full, ch
+    cc = ch // 2
+    while cc >= 128 and ch % cc == 0 and cc % 128 == 0:
+        th = _max_row_tile(h, w, c, cc, itemsize, budget_bytes)
+        if th is not None and th >= 4:
+            return th, cc
+        cc //= 2
+    if full is None:
+        return None
+    return full, ch
 
 
 _AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
@@ -244,29 +273,42 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
                 x_tile, g_tile, h1_ref, dhc_ref, semx, semg,
                 *, Th: int, W: int, WPX: int, C: int, CP: int, Ch: int,
                 eps: float):
-    """Backward of the fused MLP, one (B, H/Th) tile per program.
+    """Backward of the fused MLP, one (B, H/Th, Ch/Cc) tile per program.
 
     Every hidden-sized tensor lives in VMEM: h1 is recomputed from the x
     halo tile (2 rows/cols of halo — dhc needs 1 and the dwconv another),
     dhc is computed in place over dg, and the per-row chains (gelu', the
     9 conv-transpose / weight-grad taps, LayerNorm backward) run row-chunked
     so Mosaic's stack stays bounded. Weight grads accumulate into fp32 VMEM
-    outputs revisited by every program ("arbitrary" grid semantics)."""
+    outputs revisited by every program ("arbitrary" grid semantics).
+
+    The third grid dim walks Cc-wide hidden-channel chunks (see
+    _pick_bwd_tiling for why separability makes this exact): the weight
+    operands/grads arrive as BlockSpec chunks, dx accumulates across chunks
+    (innermost grid dim → consecutive revisits of the same block), and the
+    chunk-independent dlnw/dlnb/dfc2b/dx contributions are summed or gated
+    to c==0 as appropriate. Ch here is the *chunk* width."""
     f32 = jnp.float32
     b = pl.program_id(0)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
-    lin = b * ni + i
+    c_idx = pl.program_id(2)
+    first_tile = (b == 0) & (i == 0)
 
     pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
                           semx).start()
     pltpu.make_async_copy(g_hbm.at[b, pl.ds(i * Th, Th + 2)], g_tile,
                           semg).start()
 
-    @pl.when(lin == 0)
+    @pl.when(first_tile & (c_idx == 0))
     def _():
-        for ref in (dlnw_ref, dlnb_ref, dfc1w_ref, dfc1b_ref, dposw_ref,
-                    dposb_ref, dfc2w_ref, dfc2b_ref):
+        for ref in (dlnw_ref, dlnb_ref, dfc2b_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    @pl.when(first_tile)
+    def _():
+        # per-chunk accumulator blocks: first visit of THIS chunk's block
+        for ref in (dfc1w_ref, dfc1b_ref, dposw_ref, dposb_ref, dfc2w_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
@@ -287,7 +329,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
 
     # --- recompute h1 = fc1(y), zero outside the true image ---
     h = jnp.dot(y, fc1_w[:], preferred_element_type=f32)
-    h = (h + fc1_b[:].astype(f32)).reshape(Th + 4, WPX, Ch)
+    h = (h + fc1_b[0].astype(f32)).reshape(Th + 4, WPX, Ch)
     gr = i * Th + jax.lax.broadcasted_iota(jnp.int32, (Th + 4, WPX, 1), 0) - 2
     gc = jax.lax.broadcasted_iota(jnp.int32, (Th + 4, WPX, 1), 1) - 2
     num_rows = ni * Th
@@ -306,7 +348,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     dhc_ref[...] = dg.reshape(Th + 2, WPX, Ch)
 
     posw = pos_w[:].astype(f32)
-    posb = pos_b[:].astype(f32)
+    posb = pos_b[0].astype(f32)
     c_half = np.float32(0.7071067811865476)
     c_pdf = np.float32(0.3989422804014327)
     We = W + 2
@@ -343,10 +385,13 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
                     dposw_ref[k * 3 + l, :] += jnp.sum(
                         dhc[1:W + 1] * h1_ref[r + k, 1 + l:1 + l + W, :],
                         axis=0)
-            dposb_ref[...] += jnp.sum(dhc[1:W + 1], axis=0)
+            dposb_ref[0] += jnp.sum(dhc[1:W + 1], axis=0)
 
-    dfc2b_ref[...] += jnp.sum(
-        g_tile[1:Th + 1, 1:W + 1, :C].astype(f32), axis=(0, 1))
+    @pl.when(c_idx == 0)
+    def _():
+        # dfc2_b = sum(g): independent of the hidden chunk — add once
+        dfc2b_ref[...] += jnp.sum(
+            g_tile[1:Th + 1, 1:W + 1, :C].astype(f32), axis=(0, 1))
 
     # --- row pass 2: conv-transpose -> dh1, fc1/LN backward -> dx ---
     for p in range(Th):
@@ -364,7 +409,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         dh1c = dh1.astype(fc1_w.dtype)
         dfc1w_ref[...] += jax.lax.dot_general(
             yp, dh1c, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        dfc1b_ref[...] += jnp.sum(dh1, axis=0)
+        dfc1b_ref[0] += jnp.sum(dh1, axis=0)
         dy = jax.lax.dot_general(dh1c, fc1_w[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         dlnw_ref[...] += jnp.sum(dy * y0p, axis=0)
@@ -373,11 +418,15 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         m1 = jnp.mean(dyn, axis=-1, keepdims=True)
         m2 = jnp.mean(dyn * y0p, axis=-1, keepdims=True)
         dx = rst * (dyn - m1 - y0p * m2)
-        dx_ref[0, p] = dx.astype(dx_ref.dtype)
+        # dx is linear in dy, so per-chunk contributions sum exactly; the
+        # c>0 read of an already-written block is safe (innermost grid dim
+        # revisits the same dx block consecutively)
+        prev = jnp.where(c_idx > 0, dx_ref[0, p].astype(f32), 0.0)
+        dx_ref[0, p] = (prev + dx).astype(dx_ref.dtype)
 
 
 def _backward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
-                     g, eps: float, Th: int, interpret: bool):
+                     g, eps: float, Th: int, Cc: int, interpret: bool):
     B, H, W, C = x.shape
     Ch = fc1_w.shape[1]
     WPX = -(-(W + 4) // 8) * 8
@@ -387,55 +436,81 @@ def _backward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
                  ((0, 0), (1, 1), (1, WPX - W - 1), (0, CP - C)))
 
     kern = functools.partial(_bwd_kernel, Th=Th, W=W, WPX=WPX, C=C, CP=CP,
-                             Ch=Ch, eps=eps)
+                             Ch=Cc, eps=eps)
     f32 = jnp.float32
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+        shape, lambda b, i, c: (0,) * len(shape), memory_space=pltpu.VMEM)
     flops = 5 * 2 * B * H * W * C * Ch + 27 * 2 * B * H * W * Ch
     outs = pl.pallas_call(
         kern,
-        grid=(B, H // Th),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        grid=(B, H // Th, Ch // Cc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # g (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+            pl.BlockSpec((C, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),  # fc1_w chunk
+            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),  # fc1_b chunk (2-D: 1-D
+            # chunked operands trip Mosaic's 1024-element 1-D tiling check)
+            pl.BlockSpec((3, 3, Cc), lambda b, i, c: (0, 0, c),
+                         memory_space=pltpu.VMEM),  # pos_w chunk
+            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),  # pos_b chunk
+            pl.BlockSpec((Cc, C), lambda b, i, c: (c, 0),
+                         memory_space=pltpu.VMEM),  # fc2_w chunk
+        ],
         out_specs=[
-            pl.BlockSpec((1, Th, W, C), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, Th, W, C), lambda b, i, c: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            acc_spec((C,)), acc_spec((C,)), acc_spec((C, Ch)),
-            acc_spec((Ch,)), acc_spec((9, Ch)), acc_spec((Ch,)),
-            acc_spec((Ch, C)), acc_spec((C,)),
+            acc_spec((C,)), acc_spec((C,)),
+            pl.BlockSpec((C, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cc, C), lambda b, i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            acc_spec((C,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
             jax.ShapeDtypeStruct((C,), f32),
             jax.ShapeDtypeStruct((C,), f32),
             jax.ShapeDtypeStruct((C, Ch), f32),
-            jax.ShapeDtypeStruct((Ch,), f32),
+            jax.ShapeDtypeStruct((1, Ch), f32),
             jax.ShapeDtypeStruct((9, Ch), f32),
-            jax.ShapeDtypeStruct((Ch,), f32),
+            jax.ShapeDtypeStruct((1, Ch), f32),
             jax.ShapeDtypeStruct((Ch, C), f32),
             jax.ShapeDtypeStruct((C,), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Th + 4, WPX, CP), x.dtype),
             pltpu.VMEM((Th + 2, WPX, CP), x.dtype),
-            pltpu.VMEM((Th + 4, WPX, Ch), f32),
-            pltpu.VMEM((Th + 2, WPX, Ch), f32),
+            pltpu.VMEM((Th + 4, WPX, Cc), f32),
+            pltpu.VMEM((Th + 2, WPX, Cc), f32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=3 * x.size * x.dtype.itemsize,
             transcendentals=B * H * W * Ch),
         interpret=interpret,
-    )(xp, gp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w)
+    )(xp, gp, ln_w, ln_b, fc1_w, fc1_b.reshape(1, Ch), pos_w,
+      pos_b.reshape(1, Ch), fc2_w)
     (dx, dlnw, dlnb, dfc1w, dfc1b, dposw, dposb, dfc2w, dfc2b) = outs
     return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
-            dfc1w.astype(fc1_w.dtype), dfc1b.astype(fc1_b.dtype),
+            dfc1w.astype(fc1_w.dtype),
+            dfc1b.reshape(Ch).astype(fc1_b.dtype),
             dposw.reshape(3, 3, Ch).astype(pos_w.dtype),
-            dposb.astype(pos_b.dtype), dfc2w.astype(fc2_w.dtype),
-            dfc2b.astype(fc2_b.dtype))
+            dposb.reshape(Ch).astype(pos_b.dtype),
+            dfc2w.astype(fc2_w.dtype), dfc2b.astype(fc2_b.dtype))
 
 
 def fused_mlp_reference(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
@@ -486,24 +561,26 @@ def _bwd(eps, interpret, res, g):
         120x160 C96/768   6.43 vs 8.87   pallas   (stage-0 main, Th=4)
         120x160 C48/384   3.25 vs 4.34   pallas   (stage-0 e,    Th=8)
          60x80  C96/768   1.55 vs 1.75   pallas   (stage-1 e,    Th=6)
-         60x80  C192/1536 5.75 vs 3.71   XLA      (Th=1: 5x halo traffic)
+         60x80  C192/1536 3.55 vs 3.71   pallas   (Th=6 x Cc=768 chunks;
+                                                   5.75 at full-Ch Th=1)
          30x40  C288/1152 0.88 vs 0.60   XLA      (small grid, MXU-bound)
          30x40  C144/576  0.43 vs 0.34   XLA
          15x20  C288/1152 0.32 vs 0.17   XLA
 
     The pattern: the kernel wins where the hidden tensor's HBM traffic
     dominates (large spatial) AND the row tile is big enough that the
-    2-row halo isn't the traffic (Th>=4); at Th=1 the halo quintuples the
-    x reads, and at small spatial XLA's one-shot batched matmuls win.
-    Gate: Th>=4 and H*W>=4800. fp32 (parity tests) keeps the XLA
-    backward."""
+    2-row halo isn't the traffic (Th>=4); at small spatial XLA's one-shot
+    batched matmuls win. Shapes whose full-Ch tile only fits at Th<4
+    (stage-1 main) run with the hidden channel split into Cc-wide chunks
+    instead (see _pick_bwd_tiling). Gate: Th>=4 and H*W>=4800. fp32
+    (parity tests) keeps the XLA backward."""
     x = res[0]
     if x.dtype == jnp.bfloat16:
         B, H, W, C = x.shape
         Ch = res[3].shape[1]
-        th = _pick_bwd_row_tile(H, W, C, Ch, x.dtype.itemsize)
-        if th is not None and th >= 4 and H * W >= 4800:
-            return _backward_pallas(*res, g, eps, th, interpret)
+        tiling = _pick_bwd_tiling(H, W, C, Ch, x.dtype.itemsize)
+        if tiling is not None and tiling[0] >= 4 and H * W >= 4800:
+            return _backward_pallas(*res, g, eps, *tiling, interpret)
     return _bwd_xla(eps, res, g)
 
 

@@ -67,19 +67,22 @@ def test_fused_mlp_bwd_kernel_matches_xla_backward():
     g = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
 
     res = (x, *ps)
-    th = fm._pick_bwd_row_tile(H, W, C, Ch, 2)
+    th, cc = fm._pick_bwd_tiling(H, W, C, Ch, 2)
     assert th is not None
-    got = fm._backward_pallas(*res, g, 1e-6, th, True)
-    want = fm._bwd_xla(1e-6, res, g)
     names = ["dx", "dln_w", "dln_b", "dfc1_w", "dfc1_b", "dpos_w", "dpos_b",
              "dfc2_w", "dfc2_b"]
-    for name, a, b in zip(names, got, want):
-        assert a.dtype == b.dtype and a.shape == b.shape, name
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        scale = max(np.abs(b).max(), 1e-3)
-        np.testing.assert_allclose(a / scale, b / scale, atol=3e-2,
-                                   err_msg=name)
+    want = fm._bwd_xla(1e-6, res, g)
+    # full-Ch tile and a forced 2-chunk split must both match: the split
+    # exercises the chunk-grid accumulation paths (dx revisits, c==0 gates)
+    for cc_case in (cc, Ch // 2):
+        got = fm._backward_pallas(*res, g, 1e-6, th, cc_case, True)
+        for name, a, b in zip(names, got, want):
+            assert a.dtype == b.dtype and a.shape == b.shape, name
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, b / scale, atol=3e-2,
+                                       err_msg=f"{name} cc={cc_case}")
 
 
 def test_fused_mlp_bwd_kernel_vs_fp32_oracle():
@@ -91,7 +94,7 @@ def test_fused_mlp_bwd_kernel_vs_fp32_oracle():
     from dformer_tpu.kernels import fused_mlp as fm
 
     B, H, W, C, r = 1, 60, 80, 8, 4
-    assert fm._pick_bwd_row_tile(H, W, C, C * r, 2) >= 4
+    assert fm._pick_bwd_tiling(H, W, C, C * r, 2)[0] >= 4
     x32 = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32))
     ps = _mlp_params(C, C * r)
 
