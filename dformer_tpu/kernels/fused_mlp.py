@@ -227,8 +227,8 @@ def _max_row_tile(h, w, c, cc, itemsize, budget_bytes):
         total += (th + 4) * wpx * cc * 4               # h1
         total += (th + 2) * wpx * cc * 4               # dg/dhc
         total += (th + 4) * wpx * (c + 1) * 4          # y0 + rstd
-        total += (th + 4) * wpx * cp * itemsize        # x DMA tile
-        total += (th + 2) * wpx * cp * itemsize        # g DMA tile
+        total += 2 * (th + 4) * wpx * cp * itemsize    # x DMA tile (2 slots)
+        total += 2 * (th + 2) * wpx * cp * itemsize    # g DMA tile (2 slots)
         if total <= budget_bytes:
             best = th
     return best
@@ -293,15 +293,31 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     i = pl.program_id(1)
     ni = pl.num_programs(1)
     c_idx = pl.program_id(2)
+    nc = pl.num_programs(2)
     first_tile = (b == 0) & (i == 0)
 
-    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
-                          semx).start()
-    pltpu.make_async_copy(g_hbm.at[b, pl.ds(i * Th, Th + 2)], g_tile,
-                          semg).start()
+    # Double-buffered, chunk-aware x/g staging. One (b, i) spatial tile is
+    # shared by all nc chunk programs: only the c==0 program waits for its
+    # slot's DMA (started by the previous tile's LAST chunk program, or by
+    # the bootstrap below), c>0 programs reuse the resident tile, and the
+    # last chunk prefetches the NEXT tile into the other slot while this
+    # tile's compute runs — the serial per-program start();wait() version
+    # both stalled on HBM latency every program and re-transferred the same
+    # tile once per chunk (same finding as the forward kernel's DMA).
+    tile_lin = b * ni + i
+    slot = jax.lax.rem(tile_lin, 2)
+    nslot = jax.lax.rem(tile_lin + 1, 2)
+
+    def tile_dma(s, b_, i_):
+        return (pltpu.make_async_copy(x_hbm.at[b_, pl.ds(i_ * Th, Th + 4)],
+                                      x_tile.at[s], semx.at[s]),
+                pltpu.make_async_copy(g_hbm.at[b_, pl.ds(i_ * Th, Th + 2)],
+                                      g_tile.at[s], semg.at[s]))
 
     @pl.when(first_tile & (c_idx == 0))
     def _():
+        for dma in tile_dma(slot, b, i):
+            dma.start()
         for ref in (dlnw_ref, dlnb_ref, dfc2b_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
@@ -311,14 +327,22 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         for ref in (dfc1w_ref, dfc1b_ref, dposw_ref, dposb_ref, dfc2w_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * Th, Th + 4)], x_tile,
-                          semx).wait()
+    @pl.when((c_idx == nc - 1) & (tile_lin + 1 < pl.num_programs(0) * ni))
+    def _():
+        nxt_b = jnp.where(i + 1 < ni, b, b + 1)
+        nxt_i = jnp.where(i + 1 < ni, i + 1, 0)
+        for dma in tile_dma(nslot, nxt_b, nxt_i):
+            dma.start()
+
+    @pl.when(c_idx == 0)
+    def _():
+        tile_dma(slot, b, i)[0].wait()
 
     # --- recompute LayerNorm (fp32, matching the forward kernel); the
     # per-row stats needed again in pass 2 are recomputed there (cheaper
     # than a (Th+4, WPX, C) y0 stash at C-sized cost) ---
     rows = (Th + 4) * WPX
-    xf = x_tile[:, :, :C].reshape(rows, C).astype(f32)
+    xf = x_tile[slot, :, :, :C].reshape(rows, C).astype(f32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y0 = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -336,13 +360,14 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     valid = ((gr >= 0) & (gr < num_rows) & (gc >= 0) & (gc < W))
     h1_ref[...] = h * valid.astype(f32)
 
-    pltpu.make_async_copy(g_hbm.at[b, pl.ds(i * Th, Th + 2)], g_tile,
-                          semg).wait()
+    @pl.when(c_idx == 0)
+    def _():
+        tile_dma(slot, b, i)[1].wait()
 
     # --- dg = g @ fc2_w^T over the whole g tile (zero halo rows/cols of g
     # make the out-of-image dhc exactly zero, as the real computation has
     # no such outputs) ---
-    g2 = g_tile[:, :, :C].reshape((Th + 2) * WPX, C)
+    g2 = g_tile[slot, :, :, :C].reshape((Th + 2) * WPX, C)
     dg = jax.lax.dot_general(g2, fc2_w[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
     dhc_ref[...] = dg.reshape(Th + 2, WPX, Ch)
@@ -376,7 +401,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         dhc_ref[r, :We, :] = dhc
         if 1 <= r <= Th:
             gact = (hc * inner).astype(fc2_w.dtype)
-            grow = g_tile[r, 1:W + 1, :C]
+            grow = g_tile[slot, r, 1:W + 1, :C]
             dfc2w_ref[...] += jax.lax.dot_general(
                 gact[1:W + 1], grow, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
@@ -391,7 +416,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     def _():
         # dfc2_b = sum(g): independent of the hidden chunk — add once
         dfc2b_ref[...] += jnp.sum(
-            g_tile[1:Th + 1, 1:W + 1, :C].astype(f32), axis=(0, 1))
+            g_tile[slot, 1:Th + 1, 1:W + 1, :C].astype(f32), axis=(0, 1))
 
     # --- row pass 2: conv-transpose -> dh1, fc1/LN backward -> dx ---
     for p in range(Th):
@@ -400,7 +425,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
             for l in range(3):
                 dh1 = dh1 + dhc_ref[p + 2 - k, 2 - l:2 - l + W, :] * posw[k, l]
         # per-row LN stats recompute (x_tile is still resident)
-        xrow = x_tile[p + 2, 2:W + 2, :C].astype(f32)
+        xrow = x_tile[slot, p + 2, 2:W + 2, :C].astype(f32)
         mu = jnp.mean(xrow, axis=-1, keepdims=True)
         va = jnp.mean(jnp.square(xrow - mu), axis=-1, keepdims=True)
         rst = jax.lax.rsqrt(va + eps)
@@ -489,12 +514,12 @@ def _backward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
             jax.ShapeDtypeStruct((C,), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Th + 4, WPX, CP), x.dtype),
-            pltpu.VMEM((Th + 2, WPX, CP), x.dtype),
+            pltpu.VMEM((2, Th + 4, WPX, CP), x.dtype),  # double-buffered x
+            pltpu.VMEM((2, Th + 2, WPX, CP), x.dtype),  # double-buffered g
             pltpu.VMEM((Th + 4, WPX, Cc), f32),
             pltpu.VMEM((Th + 2, WPX, Cc), f32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
