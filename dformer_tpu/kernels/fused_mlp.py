@@ -583,10 +583,10 @@ def _bwd(eps, interpret, res, g):
     (_bwd_kernel) only at shapes where it measured faster than the XLA
     backward (fwd+grad ms/call, bs8 DFormer-L stages, v5e):
 
-        120x160 C96/768   6.43 vs 8.87   pallas   (stage-0 main, Th=4)
-        120x160 C48/384   3.25 vs 4.34   pallas   (stage-0 e,    Th=8)
-         60x80  C96/768   1.55 vs 1.75   pallas   (stage-1 e,    Th=6)
-         60x80  C192/1536 3.55 vs 3.71   pallas   (Th=6 x Cc=768 chunks;
+        120x160 C96/768   6.36 vs 8.87   pallas   (stage-0 main, Th=8xCc384)
+        120x160 C48/384   3.23 vs 4.34   pallas   (stage-0 e,    Th=8)
+         60x80  C96/768   1.61 vs 1.75   pallas   (stage-1 e,    Th=6)
+         60x80  C192/1536 3.54 vs 3.71   pallas   (Th=6 x Cc=768 chunks;
                                                    5.75 at full-Ch Th=1)
          30x40  C288/1152 0.88 vs 0.60   XLA      (small grid, MXU-bound)
          30x40  C144/576  0.43 vs 0.34   XLA
