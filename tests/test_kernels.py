@@ -114,6 +114,31 @@ def test_fused_mlp_bwd_kernel_vs_fp32_oracle():
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-2)
 
 
+def test_bwd_tiling_dispatch_decisions():
+    """Lock the backward tiling/dispatch decisions at the DFormer-L bs8
+    480x640 stage shapes: these encode the measured win/lose boundary (the
+    microbench table in fused_mlp._bwd) and the VMEM budget model. A change
+    to the model that silently flips a shape across the Th>=4 / H*W>=4800
+    gate shows up here rather than as an unexplained train-step regression."""
+    from dformer_tpu.kernels import fused_mlp as fm
+
+    def dispatches(h, w, c, ch):
+        t = fm._pick_bwd_tiling(h, w, c, ch, 2)
+        return t is not None and t[0] >= 4 and h * w >= 4800
+
+    # stage-0/1 main + e branches: Pallas backward
+    assert dispatches(120, 160, 96, 768)
+    assert dispatches(120, 160, 48, 384)
+    assert dispatches(60, 80, 96, 768)
+    assert dispatches(60, 80, 192, 1536)   # via hidden-channel chunking
+    th, cc = fm._pick_bwd_tiling(60, 80, 192, 1536, 2)
+    assert th >= 4 and 1536 % cc == 0 and cc % 128 == 0
+    # small-spatial stages: XLA backward (measured faster there)
+    assert not dispatches(30, 40, 288, 1152)
+    assert not dispatches(30, 40, 144, 576)
+    assert not dispatches(15, 20, 288, 1152)
+
+
 def test_mlpblock_pallas_path_matches_standard():
     """MLPBlock(use_pallas) vs standard path with the SAME params."""
     from dformer_tpu.models.encoder import MLPBlock
