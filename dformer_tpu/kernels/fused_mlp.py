@@ -308,16 +308,18 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     slot = jax.lax.rem(tile_lin, 2)
     nslot = jax.lax.rem(tile_lin + 1, 2)
 
-    def tile_dma(s, b_, i_):
-        return (pltpu.make_async_copy(x_hbm.at[b_, pl.ds(i_ * Th, Th + 4)],
-                                      x_tile.at[s], semx.at[s]),
-                pltpu.make_async_copy(g_hbm.at[b_, pl.ds(i_ * Th, Th + 2)],
-                                      g_tile.at[s], semg.at[s]))
+    def x_dma(s, b_, i_):
+        return pltpu.make_async_copy(x_hbm.at[b_, pl.ds(i_ * Th, Th + 4)],
+                                     x_tile.at[s], semx.at[s])
+
+    def g_dma(s, b_, i_):
+        return pltpu.make_async_copy(g_hbm.at[b_, pl.ds(i_ * Th, Th + 2)],
+                                     g_tile.at[s], semg.at[s])
 
     @pl.when(first_tile & (c_idx == 0))
     def _():
-        for dma in tile_dma(slot, b, i):
-            dma.start()
+        x_dma(slot, b, i).start()
+        g_dma(slot, b, i).start()
         for ref in (dlnw_ref, dlnb_ref, dfc2b_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
@@ -331,12 +333,12 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     def _():
         nxt_b = jnp.where(i + 1 < ni, b, b + 1)
         nxt_i = jnp.where(i + 1 < ni, i + 1, 0)
-        for dma in tile_dma(nslot, nxt_b, nxt_i):
-            dma.start()
+        x_dma(nslot, nxt_b, nxt_i).start()
+        g_dma(nslot, nxt_b, nxt_i).start()
 
     @pl.when(c_idx == 0)
     def _():
-        tile_dma(slot, b, i)[0].wait()
+        x_dma(slot, b, i).wait()
 
     # --- recompute LayerNorm (fp32, matching the forward kernel); the
     # per-row stats needed again in pass 2 are recomputed there (cheaper
@@ -362,7 +364,7 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
 
     @pl.when(c_idx == 0)
     def _():
-        tile_dma(slot, b, i)[1].wait()
+        g_dma(slot, b, i).wait()
 
     # --- dg = g @ fc2_w^T over the whole g tile (zero halo rows/cols of g
     # make the out-of-image dhc exactly zero, as the real computation has
