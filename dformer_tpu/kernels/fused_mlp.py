@@ -196,16 +196,18 @@ def _forward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
     )(xp, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b)
 
 
-def _max_row_tile(h, w, c, cc, itemsize, budget_bytes):
+def _max_row_tile(h, w, c, ch, cc, itemsize, budget_bytes):
     """Largest Th (≤8, dividing h) whose backward VMEM footprint fits for a
-    Cc-wide hidden-channel chunk.
+    Cc-wide hidden-channel chunk of a Ch-wide hidden layer.
 
     Buffers: h1 tile (Th+4 rows, fp32), dg/dhc tile (Th+2, fp32), y0
     (Th+4, C fp32), rstd, the two DMA-staged input tiles, the weight
-    operand chunks, the fp32 weight-grad accumulator chunks, and ~6 live
-    row-sized fp32 temporaries from the unrolled per-row chains (the row
-    chunking is what bounds the Mosaic stack — whole-tile elementwise
-    chains tripled the footprint).
+    operand chunks (Cc-wide), the fp32 weight-grad accumulator windows
+    (FULL Ch-wide: they use constant index maps so their blocks persist
+    across every grid step — see _bwd_kernel), and ~6 live row-sized fp32
+    temporaries from the unrolled per-row chains (the row chunking is what
+    bounds the Mosaic stack — whole-tile elementwise chains tripled the
+    footprint).
 
     Th is capped at 8: the per-row passes are Python-unrolled (Th+2
     iterations), and Mosaic's *stack* grows with the unroll count beyond
@@ -217,7 +219,7 @@ def _max_row_tile(h, w, c, cc, itemsize, budget_bytes):
     wpx = -(-(w + 4) // 8) * 8
     cp = -(-c // 128) * 128
     fixed = (2 * c * cc + 9 * cc) * itemsize          # fc1_w, fc2_w, pos_w
-    fixed += (2 * c * cc + 9 * cc + 2 * cc + 2 * c) * 4   # f32 accumulators
+    fixed += (2 * c * ch + 11 * ch + 3 * c) * 4        # f32 acc windows
     fixed += 6 * wpx * cc * 4                          # row temporaries
     best = None
     for th in range(1, min(h, 8) + 1):
@@ -250,12 +252,12 @@ def _pick_bwd_tiling(h: int, w: int, c: int, ch: int, itemsize: int,
     Preference order: full Ch at Th>=4 (the proven config), then the
     largest power-of-two fraction of Ch (lane-aligned: multiple of 128)
     that reaches Th>=4, else the best full-Ch tile (caller gates on Th)."""
-    full = _max_row_tile(h, w, c, ch, itemsize, budget_bytes)
+    full = _max_row_tile(h, w, c, ch, ch, itemsize, budget_bytes)
     if full is not None and full >= 4:
         return full, ch
     cc = ch // 2
     while cc >= 128 and ch % cc == 0 and cc % 128 == 0:
-        th = _max_row_tile(h, w, c, cc, itemsize, budget_bytes)
+        th = _max_row_tile(h, w, c, ch, cc, itemsize, budget_bytes)
         if th is not None and th >= 4:
             return th, cc
         cc //= 2
@@ -279,15 +281,23 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
     halo tile (2 rows/cols of halo — dhc needs 1 and the dwconv another),
     dhc is computed in place over dg, and the per-row chains (gelu', the
     9 conv-transpose / weight-grad taps, LayerNorm backward) run row-chunked
-    so Mosaic's stack stays bounded. Weight grads accumulate into fp32 VMEM
-    outputs revisited by every program ("arbitrary" grid semantics).
+    so Mosaic's stack stays bounded.
 
     The third grid dim walks Cc-wide hidden-channel chunks (see
     _pick_bwd_tiling for why separability makes this exact): the weight
-    operands/grads arrive as BlockSpec chunks, dx accumulates across chunks
-    (innermost grid dim → consecutive revisits of the same block), and the
-    chunk-independent dlnw/dlnb/dfc2b/dx contributions are summed or gated
-    to c==0 as appropriate. Ch here is the *chunk* width."""
+    OPERANDS arrive as BlockSpec chunks (inputs are re-fetched per program,
+    safe), but every weight-GRAD output is a FULL-width block with a
+    constant index map — all grid steps map to the same block, so its VMEM
+    contents are guaranteed to persist (consecutive revisits, the Pallas
+    reduction pattern). Each chunk program accumulates into its
+    pl.ds(c*Cc, Cc) slice of those windows. A chunk-indexed out block
+    (round-3 design) was WRONG with nc>1: block c was revisited
+    non-consecutively across (b, i) tiles, where Pallas does not guarantee
+    the block survives (it worked at nc=2 only by double-buffer
+    coincidence). dx accumulates across chunks in its (b, i) block —
+    c is the innermost grid dim, so those revisits ARE consecutive — and
+    the chunk-independent dlnw/dlnb/dfc2b contributions are gated to c==0.
+    Ch here is the *chunk* width; the full hidden width is nc * Ch."""
     f32 = jnp.float32
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -316,6 +326,8 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         return pltpu.make_async_copy(g_hbm.at[b_, pl.ds(i_ * Th, Th + 2)],
                                      g_tile.at[s], semg.at[s])
 
+    off = c_idx * Ch  # this chunk's slice of the full-width grad windows
+
     @pl.when(first_tile & (c_idx == 0))
     def _():
         x_dma(slot, b, i).start()
@@ -325,9 +337,12 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
 
     @pl.when(first_tile)
     def _():
-        # per-chunk accumulator blocks: first visit of THIS chunk's block
-        for ref in (dfc1w_ref, dfc1b_ref, dposw_ref, dposb_ref, dfc2w_ref):
-            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+        # zero THIS chunk's slice of the full-width accumulator windows
+        dfc1w_ref[:, pl.ds(off, Ch)] = jnp.zeros((C, Ch), f32)
+        dfc1b_ref[0, pl.ds(off, Ch)] = jnp.zeros((Ch,), f32)
+        dposw_ref[:, pl.ds(off, Ch)] = jnp.zeros((9, Ch), f32)
+        dposb_ref[0, pl.ds(off, Ch)] = jnp.zeros((Ch,), f32)
+        dfc2w_ref[pl.ds(off, Ch), :] = jnp.zeros((Ch, C), f32)
 
     @pl.when((c_idx == nc - 1) & (tile_lin + 1 < pl.num_programs(0) * ni))
     def _():
@@ -404,15 +419,15 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         if 1 <= r <= Th:
             gact = (hc * inner).astype(fc2_w.dtype)
             grow = g_tile[slot, r, 1:W + 1, :C]
-            dfc2w_ref[...] += jax.lax.dot_general(
+            dfc2w_ref[pl.ds(off, Ch), :] += jax.lax.dot_general(
                 gact[1:W + 1], grow, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             for k in range(3):
                 for l in range(3):
-                    dposw_ref[k * 3 + l, :] += jnp.sum(
+                    dposw_ref[k * 3 + l, pl.ds(off, Ch)] += jnp.sum(
                         dhc[1:W + 1] * h1_ref[r + k, 1 + l:1 + l + W, :],
                         axis=0)
-            dposb_ref[0] += jnp.sum(dhc[1:W + 1], axis=0)
+            dposb_ref[0, pl.ds(off, Ch)] += jnp.sum(dhc[1:W + 1], axis=0)
 
     @pl.when(c_idx == 0)
     def _():
@@ -434,9 +449,9 @@ def _bwd_kernel(x_hbm, g_hbm, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w,
         y0p = (xrow - mu) * rst
         yp = (y0p * lnw + lnb).astype(fc1_w.dtype)
         dh1c = dh1.astype(fc1_w.dtype)
-        dfc1w_ref[...] += jax.lax.dot_general(
+        dfc1w_ref[:, pl.ds(off, Ch)] += jax.lax.dot_general(
             yp, dh1c, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        dfc1b_ref[0] += jnp.sum(dh1, axis=0)
+        dfc1b_ref[0, pl.ds(off, Ch)] += jnp.sum(dh1, axis=0)
         dy = jax.lax.dot_general(dh1c, fc1_w[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         dlnw_ref[...] += jnp.sum(dy * y0p, axis=0)
@@ -492,16 +507,15 @@ def _backward_pallas(x, ln_w, ln_b, fc1_w, fc1_b, pos_w, pos_b, fc2_w, fc2_b,
             pl.BlockSpec((1, Th, W, C), lambda b, i, c: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             acc_spec((C,)), acc_spec((C,)),
-            pl.BlockSpec((C, Cc), lambda b, i, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, Cc), lambda b, i, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cc), lambda b, i, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cc, C), lambda b, i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
+            # Weight grads: FULL-width constant-map blocks — chunk programs
+            # accumulate into pl.ds slices inside the kernel. Chunk-indexed
+            # blocks here would be revisited non-consecutively across
+            # (b, i), which Pallas does not guarantee to preserve.
+            acc_spec((C, Ch)),
+            acc_spec((1, Ch)),
+            acc_spec((9, Ch)),
+            acc_spec((1, Ch)),
+            acc_spec((Ch, C)),
             acc_spec((C,)),
         ],
         out_shape=[

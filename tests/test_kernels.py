@@ -56,7 +56,12 @@ def test_fused_mlp_bwd_kernel_matches_xla_backward():
     (1.5e-7)."""
     from dformer_tpu.kernels import fused_mlp as fm
 
-    B, H, W, C, r = 2, 8, 12, 16, 4
+    # Ch=512 so the forced chunk cases below run at Cc in {256, 128} —
+    # chunk widths the real dispatcher could produce (cc % 128 == 0); the
+    # old C=16/r=4 shape forced Cc=32, which violates the kernel's own
+    # lane alignment rule and never occurs on hardware. Cc=128 gives
+    # nc=4 chunks, exercising slice offsets past the second chunk.
+    B, H, W, C, r = 2, 8, 12, 64, 8
     Ch = C * r
     x = jnp.asarray(RNG.randn(B, H, W, C).astype(np.float32),
                     jnp.bfloat16)
@@ -72,9 +77,10 @@ def test_fused_mlp_bwd_kernel_matches_xla_backward():
     names = ["dx", "dln_w", "dln_b", "dfc1_w", "dfc1_b", "dpos_w", "dpos_b",
              "dfc2_w", "dfc2_b"]
     want = fm._bwd_xla(1e-6, res, g)
-    # full-Ch tile and a forced 2-chunk split must both match: the split
-    # exercises the chunk-grid accumulation paths (dx revisits, c==0 gates)
-    for cc_case in (cc, Ch // 2):
+    # full-Ch tile and forced 2-/4-chunk splits must all match: the splits
+    # exercise the chunk-grid accumulation paths (dx revisits, c==0 gates,
+    # pl.ds writes into the full-width grad windows at every chunk offset)
+    for cc_case in (cc, Ch // 2, Ch // 4):
         got = fm._backward_pallas(*res, g, 1e-6, th, cc_case, True)
         for name, a, b in zip(names, got, want):
             assert a.dtype == b.dtype and a.shape == b.shape, name

@@ -66,11 +66,18 @@ def main():
     out_p = jax.block_until_ready(pallas_fn(*inputs))
     out_x = jax.block_until_ready(xla_fn(*inputs))
     if isinstance(out_p, tuple):
+        worst = 0.0
         for j, (a, b) in enumerate(zip(out_p, out_x)):
             err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                         - b.astype(jnp.float32))))
             scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) or 1.0
             print(f"grad[{j}]: max|pallas-xla|={err:.4f} rel={err / scale:.4f}")
+            worst = max(worst, err / scale)
+        # CHECK=1: on-chip grad-parity assertion (the real-Mosaic analog of
+        # tests/test_kernels.py's interpret-mode checks — interpret mode
+        # cannot catch VMEM block-persistence bugs, only hardware can)
+        if os.environ.get("CHECK") and worst > 0.05:
+            raise SystemExit(f"GRAD PARITY FAIL: worst rel err {worst:.4f}")
     else:
         err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
                                     - out_x.astype(jnp.float32))))
@@ -92,6 +99,11 @@ def main():
         jax.profiler.stop_trace()
         ms = device_ms(logdir) / reps
         flops = (2 * B * H * W * C * Ch * 2 + B * H * W * Ch * 9 * 2)
+        if os.environ.get("GRAD"):
+            # VJP step ≈ 3x the forward FLOPs (fwd recompute + two grad
+            # matmuls per fc, conv-transpose + weight-grad taps); without
+            # this the fwd-only formula understated GRAD throughput ~3x
+            flops *= 3
         print(f"{name}: {ms:.3f} ms/call  ({flops / ms / 1e9:.1f} TFLOP/s)")
 
 
