@@ -114,8 +114,13 @@ class Evaluator:
         replaces model.apply. Fixed input H×W (the artifact's lowered
         shape), so single-scale `evaluate` only — the deployment mode; MSF
         needs per-scale shapes and stays on the live-model path. Serving is
-        single-device per process (mesh sharding across an artifact call is
-        not validated — the artifact was lowered without shardings)."""
+        single-device per process: the artifact was lowered without
+        shardings, so a multi-device mesh is REJECTED here rather than
+        silently producing a resharded (or wrong) call."""
+        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            raise ValueError(
+                "from_exported serves single-device per process; lower the "
+                f"artifact under the mesh instead (got mesh {mesh.shape})")
         fwd = (lambda rgb, modal: exported.call(
             rgb.astype(jnp.float32), modal.astype(jnp.float32)))
         return cls(None, {}, cfg, sliding=False, mesh=mesh, forward=fwd)

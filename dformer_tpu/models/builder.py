@@ -33,6 +33,10 @@ class EncoderDecoder(fnn.Module):
     bn_momentum: float = 0.1
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    # False = full backprop through the unrolled NMF updates, matching the
+    # fork's commented-out @torch.no_grad (ham_head.py:45); True = HamNet
+    # one-step gradient (documented intentional divergence, README.md)
+    nmf_one_step_grad: bool = True
     # FSS fusion knobs (reference builder.py:297-303)
     temperature: float = 1.0
     alpha: float = 0.5
@@ -59,7 +63,8 @@ class EncoderDecoder(fnn.Module):
         aux = False
         if self.decoder == "ham":
             self.decode_head = LightHamHead(
-                in_index=(1, 2, 3), channels=self.decoder_embed_dim, **head_kw)
+                in_index=(1, 2, 3), channels=self.decoder_embed_dim,
+                one_step_grad=self.nmf_one_step_grad, **head_kw)
             aux = self.aux_rate != 0
         elif self.decoder == "MLPDecoder":
             self.decode_head = MLPDecoderHead(
@@ -178,8 +183,12 @@ def build_model(cfg, bn_axis_name=None, dtype=None,
         decoder=cfg.decoder,
         num_classes=cfg.num_classes,
         decoder_embed_dim=cfg.get("decoder_embed_dim", 512),
-        drop_path_rate=cfg.get("drop_path_rate", 0.1) or 0.1,
+        # explicit None check: `or 0.1` silently coerced a configured 0.0
+        # (droppath disabled) back to 0.1
+        drop_path_rate=(0.1 if cfg.get("drop_path_rate", None) is None
+                        else cfg.drop_path_rate),
         aux_rate=cfg.get("aux_rate", 0.0),
+        nmf_one_step_grad=cfg.get("nmf_one_step_grad", True),
         bn_eps=cfg.get("bn_eps", 1e-3),
         bn_momentum=cfg.get("bn_momentum", 0.1),
         bn_axis_name=bn_axis_name,

@@ -104,6 +104,10 @@ class Hamburger(fnn.Module):
     bn_momentum: float = 0.1
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # False = backprop through all unrolled NMF updates, matching the fork's
+    # commented-out @torch.no_grad (ham_head.py:45); True = HamNet one-step
+    # gradient (see nmf2d docstring for why that is the safer default)
+    one_step_grad: bool = True
 
     @fnn.compact
     def __call__(self, x, train: bool = False, deterministic_bases: bool = True):
@@ -123,7 +127,8 @@ class Hamburger(fnn.Module):
         # keeps the 6-pass HIGHEST emulation
         prec = _P if self.dtype in (None, jnp.float32) else \
             jax.lax.Precision.DEFAULT
-        flat = nmf2d(flat, bases, train=train, precision=prec)
+        flat = nmf2d(flat, bases, train=train,
+                     one_step_grad=self.one_step_grad, precision=prec)
         enjoy = flat.reshape(B, H, W, self.ham_channels).astype(x.dtype)
 
         enjoy = ConvBNReLU(self.ham_channels, 1, with_bn=True, with_relu=False,
@@ -147,6 +152,7 @@ class LightHamHead(fnn.Module):
     bn_momentum: float = 0.1
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    one_step_grad: bool = True  # see Hamburger/nmf2d
 
     @fnn.compact
     def __call__(self, inputs, train: bool = False,
@@ -162,6 +168,7 @@ class LightHamHead(fnn.Module):
         x = Hamburger(self.ham_channels, bn_eps=self.bn_eps,
                       bn_momentum=self.bn_momentum,
                       bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                      one_step_grad=self.one_step_grad,
                       name="hamburger")(x, train, deterministic_bases)
         x = ConvBNReLU(self.channels, 1, bn_eps=self.bn_eps,
                        bn_momentum=self.bn_momentum,

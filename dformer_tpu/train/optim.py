@@ -57,8 +57,13 @@ def make_schedule(cfg):
     return sched
 
 
-def make_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransformation:
-    sched = make_schedule(cfg)
+def make_optimizer(cfg, params, trainable_mask=None,
+                   schedule: Optional[Callable] = None) -> optax.GradientTransformation:
+    """schedule overrides the cfg-derived warmup-poly LR (step -> lr); the
+    trajectory-parity test uses it to replicate the reference's post-step LR
+    write (utils/train.py:353-357: step k runs at get_lr(k-1), step 0 at the
+    constructor base_lr)."""
+    sched = schedule if schedule is not None else make_schedule(cfg)
     if cfg.get("optimizer", "AdamW") == "AdamW":
         tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
                          weight_decay=cfg.weight_decay,

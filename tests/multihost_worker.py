@@ -22,6 +22,14 @@ def main():
     ap.add_argument("--rank", type=int, required=True)
     ap.add_argument("--world", type=int, required=True)
     ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--phase", default="full",
+                    choices=["full", "save", "resume"],
+                    help="full: epochs 1-3. save: epoch 1 then all-host "
+                         "orbax save. resume: restore + epochs 2-3. The "
+                         "save+resume pair must reproduce full's losses "
+                         "(multi-host checkpoint contract, "
+                         "train/checkpoint.py:62-68)")
+    ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args()
 
     import jax
@@ -62,6 +70,13 @@ def main():
                        opt_state=tx.init(variables["params"]))
 
     mesh = make_mesh()
+    start_epoch = 1
+    if args.phase == "resume":
+        from dformer_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir)
+        state, start_epoch = ckpt.restore(state)
+        assert start_epoch == 2, start_epoch
     trainer = Trainer(model, state, tx, cfg, mesh=mesh, seed=8964)
 
     # deterministic GLOBAL batches; each host slices its contiguous
@@ -85,7 +100,21 @@ def main():
                 x = (r.rand(B, H, W, 3) * 255).astype(np.uint8)
                 yield dict(rgb=rgb[lo:hi], gt=gt[lo:hi], modal_x=x[lo:hi])
 
-    means = [float(trainer.run_epoch(FakeLoader(), e)) for e in (1, 2, 3)]
+    epochs = {"full": (1, 2, 3), "save": (1,), "resume": (2, 3)}[args.phase]
+    means = [float(trainer.run_epoch(FakeLoader(), e)) for e in epochs]
+
+    if args.phase == "save":
+        from dformer_tpu.train.checkpoint import CheckpointManager
+
+        # EVERY process calls save (orbax coordinates the multihost write)
+        ckpt = CheckpointManager(args.ckpt_dir)
+        ckpt.save(trainer.state, epoch=1, miou=0.5)
+    if args.phase in ("save", "resume"):
+        print("LOSSJSON " + json.dumps({
+            "rank": args.rank, "means": means,
+            "step": int(jax.device_get(trainer.state.step)),
+        }))
+        return
 
     # the in-training eval path: a per-host Evaluator over a LOCAL mesh must
     # accept the trainer's GLOBAL-mesh-committed variables (regression: a

@@ -77,3 +77,42 @@ def test_two_process_training_matches_single_process():
     # the single-process value
     np.testing.assert_allclose(dist[0]["miou"], ref["miou"], atol=2e-2)
     np.testing.assert_allclose(dist[0]["miou"], dist[1]["miou"], atol=1e-6)
+
+
+def test_two_process_checkpoint_save_restore_continue(tmp_path):
+    """Multi-host checkpoint contract (train/checkpoint.py:62-68, reference
+    engine.py:101-186): 2-process train -> all-host orbax save -> fresh
+    2-process restore -> continue must reproduce the uninterrupted
+    2-process run's losses exactly (composes the single-process bitwise
+    resume-equivalence property with the multihost write path)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def run_pair(phase):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER, "--rank", str(r), "--world", "2",
+                 "--port", str(port), "--phase", phase,
+                 "--ckpt-dir", ckpt_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=_env())
+            for r in range(2)
+        ]
+        outs = [p.communicate(timeout=1100)[0] for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, f"{phase} worker failed:\n{o[-4000:]}"
+        return [_parse(o) for o in outs]
+
+    full = run_pair("full")
+    saved = run_pair("save")
+    resumed = run_pair("resume")
+
+    # the interrupted pair reproduces the uninterrupted trajectory
+    np.testing.assert_allclose(saved[0]["means"], full[0]["means"][:1],
+                               atol=1e-7)
+    np.testing.assert_allclose(resumed[0]["means"], full[0]["means"][1:],
+                               atol=1e-7)
+    # both ranks agree, and the step counter survived the round trip
+    np.testing.assert_allclose(resumed[0]["means"], resumed[1]["means"],
+                               atol=1e-7)
+    assert saved[0]["step"] == 2 and resumed[0]["step"] == 6

@@ -4,7 +4,16 @@ task (labels = quantized smooth field, rgb/depth derived from the field) and
 verify held-out mIoU far above chance. Validates the full gradient/optimizer/
 BN-stat path semantically, without datasets on disk.
 
-Measured on v5e: 600 steps ≈ 40s, final mIoU ≈ 87 (chance = 25)."""
+Measured on v5e: 600 steps ≈ 40s, final mIoU ≈ 87 (chance = 25).
+
+--trav: same idea for DFormerTrav-Base (BASELINE config #5): the label's
+low bit is derivable ONLY from the 360-beam lidar scan (per-column beam
+threshold), the high bit only from the RGB field — held-out mIoU >> the
+~33 rgb-only ceiling proves gradients flow through the Attention1Dto2D
+lidar expansion (reference DFormer.py:308-339) and train it to a useful
+signal, not merely to finite values (tests/test_trav_fss.py covers that).
+
+Measured on v5e: --trav --steps 400 ≈ 160s, final mIoU ≈ see README."""
 
 import argparse
 import os
@@ -31,10 +40,35 @@ def make_batch(rng, B=8, hw=(64, 96), num_classes=4):
             jnp.asarray(depth))
 
 
+def make_trav_batch(rng, B=8, hw=(64, 96), beams=360):
+    """Learnable lidar task: gt = 2*(rgb field > .5) + (scan bit at the
+    pixel's column beam). The low bit exists ONLY in the scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    base = rng.rand(B, 8, 12, 1).astype(np.float32)
+    field = np.asarray(jax.image.resize(jnp.asarray(base),
+                                        (B, hw[0], hw[1], 1), "linear"))
+    rgb = np.concatenate([field, 1 - field, 0.5 + 0 * field], -1) \
+        + 0.05 * rng.randn(B, hw[0], hw[1], 3).astype(np.float32)
+    # smooth 1-D scan -> per-beam bit; column w reads beam floor(w/W*beams)
+    coarse = rng.rand(B, 1, 12, 1).astype(np.float32)
+    scan = np.asarray(jax.image.resize(jnp.asarray(coarse),
+                                       (B, 1, beams, 1), "linear"))[:, 0, :, 0]
+    beam_of_col = (np.arange(hw[1]) * beams // hw[1])
+    col_bit = (scan[:, beam_of_col] > 0.5).astype(np.int32)  # [B, W]
+    gt = 2 * (field[..., 0] > 0.5).astype(np.int32) + col_bit[:, None, :]
+    return (jnp.asarray(rgb.astype(np.float32)), jnp.asarray(gt),
+            jnp.asarray(scan.astype(np.float32)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--min_miou", type=float, default=60.0)
+    ap.add_argument("--trav", action="store_true",
+                    help="DFormerTrav lidar-expansion convergence smoke")
     args = ap.parse_args()
 
     import jax
@@ -47,16 +81,22 @@ def main():
     from dformer_tpu.train.loop import TrainState, make_train_step
     from dformer_tpu.train.optim import make_optimizer
 
-    cfg = load_config("local_configs.NYUDepthv2.DFormer_Tiny")
+    if args.trav:
+        cfg = load_config("local_configs.Trav.DFormer_Base")
+    else:
+        cfg = load_config("local_configs.NYUDepthv2.DFormer_Tiny")
     cfg.num_classes = 4
     cfg.image_height, cfg.image_width = 64, 96
     cfg.nepochs, cfg.niters_per_epoch, cfg.warm_up_epoch = 10, 60, 1
     cfg.lr = 3e-4
 
+    mk = make_trav_batch if args.trav else make_batch
     model = build_model(cfg, dtype=jnp.bfloat16)
+    modal_zero = jnp.zeros((1, 360)) if args.trav \
+        else jnp.zeros((1, 64, 96, 3))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 96, 3)),
-                                    jnp.zeros((1, 64, 96, 3)))
+                                    modal_zero)
     tx = make_optimizer(cfg, variables["params"])
     state = TrainState(step=jnp.asarray(0), params=variables["params"],
                        batch_stats=variables["batch_stats"],
@@ -67,7 +107,7 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for it in range(args.steps):
-        rgb, gt, depth = make_batch(rng)
+        rgb, gt, depth = mk(rng)
         state, loss = step(state, rgb, gt, depth, key)
         if it % 100 == 0:
             print(f"it {it} loss {float(loss):.4f} ({time.time() - t0:.0f}s)",
@@ -83,7 +123,7 @@ def main():
     metrics = Metrics(4, 255)
     erng = np.random.RandomState(123)
     for _ in range(10):
-        rgb, gt, depth = make_batch(erng)
+        rgb, gt, depth = mk(erng)
         metrics.update(fwd(rgb, depth), gt)
     ious, miou = metrics.compute_iou()
     print(f"final loss {float(loss):.4f}  held-out mIoU {miou} "
