@@ -22,10 +22,26 @@ in BASELINE.json corresponds to vs_baseline >= 3.0.
 """
 
 import json
+import os
 import tempfile
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (verified to work on the axon backend):
+    amortizes the multi-minute DFormer-L train-step compile across bench
+    invocations. Must run before backend init."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache is an optimization, never a requirement
 
 
 def _wait_for_backend(attempts: int = 3, delay_s: float = 60.0):
@@ -57,6 +73,7 @@ def main():
                          "default DFormer-Large line)")
     args = ap.parse_args()
 
+    _enable_compile_cache()
     _wait_for_backend()
     from __graft_entry__ import _build
 
@@ -97,15 +114,58 @@ def main():
     per_iter_ms = (dev_ms / reps) if dev_ms else (wall_ms / reps)
     ips = batch / (per_iter_ms / 1000.0)
 
+    # -- train-step throughput on the same config (driver-visible version of
+    # tools/train_bench.py, VERDICT r3 #4): full jitted fwd+bwd+AdamW step.
+    train_ms = train_ips = None
+    if args.backbone == "DFormer-Large":
+        try:
+            from dformer_tpu.config import load_config
+            from dformer_tpu.models import build_model
+            from dformer_tpu.parallel.mesh import make_mesh
+            from dformer_tpu.train.loop import TrainState, make_train_step
+            from dformer_tpu.train.optim import make_optimizer
+
+            cfg = load_config("local_configs.NYUDepthv2.DFormer_Large")
+            t_model = build_model(cfg, dtype=jnp.bfloat16)
+            t_vars = jax.jit(t_model.init)(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, 480, 640, 3)),
+                                           jnp.zeros((1, 480, 640, 3)))
+            tx = make_optimizer(cfg, t_vars["params"])
+            state = TrainState(step=jnp.asarray(0), params=t_vars["params"],
+                               batch_stats=t_vars["batch_stats"],
+                               opt_state=tx.init(t_vars["params"]))
+            step = make_train_step(t_model, tx, cfg, make_mesh())
+            gt = jnp.asarray(rng.randint(0, 40, (batch, 480, 640))
+                             .astype(np.int32))
+            key = jax.random.PRNGKey(0)
+            state, loss = step(state, rgb, gt, modal, key)  # compile
+            jax.block_until_ready(loss)
+            tdir = tempfile.mkdtemp(prefix="bench_train_")
+            jax.profiler.start_trace(tdir)
+            for _ in range(reps):
+                state, loss = step(state, rgb, gt, modal, key)
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            tdev = device_time_ms(tdir)
+            if tdev:
+                train_ms = round(tdev / reps, 1)
+                train_ips = round(batch / (tdev / reps / 1000.0), 2)
+        except Exception as e:  # train extras must never sink the headline
+            print(f"# train-step bench skipped: {e!r}")
+
     baseline_a100_ips = 60.0  # calibrated for DFormer-Large (BENCH_NOTES.md)
     slug = args.backbone.lower().replace("dformer-", "dformer_")
-    print(json.dumps({
+    record = {
         "metric": f"{slug}_480x640_infer_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": (round(ips / baseline_a100_ips, 3)
                         if args.backbone == "DFormer-Large" else None),
-    }))
+    }
+    if train_ms is not None:
+        record["train_step_ms_bs8"] = train_ms
+        record["train_imgs_per_sec_per_chip"] = train_ips
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -145,6 +145,99 @@ def test_mixed_shape_single_scale_matches_per_image():
     np.testing.assert_array_equal(np.asarray(m.hist), hist)
 
 
+def test_batch_bucketing_pads_to_pow2_and_hist_is_exact():
+    """A group of 3 same-geometry samples is padded to the 4-bucket (last
+    sample repeated, gt pad = ignore) — the histogram must still equal the
+    per-image oracle, and save hooks must see only the 3 real predictions."""
+    cfg, model, variables = _setup()
+    rng = np.random.RandomState(3)
+    items = []
+    for i in range(3):
+        items.append(dict(
+            rgb=rng.rand(32, 48, 3).astype(np.float32),
+            modal_x=rng.rand(32, 48, 3).astype(np.float32),
+            gt=rng.randint(0, 5, (32, 48)).astype(np.int32),
+            fn=f"img_{i}",
+        ))
+
+    hist = np.zeros((5, 5), np.int64)
+    for it in items:
+        logits = model.apply(variables, jnp.asarray(it["rgb"][None]),
+                             jnp.asarray(it["modal_x"][None]))
+        pred = np.asarray(jnp.argmax(logits, -1))[0]
+        keep = it["gt"] != 255
+        hist += np.bincount(
+            (it["gt"][keep] * 5 + pred[keep]).astype(np.int64),
+            minlength=25).reshape(5, 5)
+
+    # mixed batch (3 + 1 other geometry) so the hw path engages
+    items.append(dict(
+        rgb=rng.rand(24, 40, 3).astype(np.float32),
+        modal_x=rng.rand(24, 40, 3).astype(np.float32),
+        gt=np.full((24, 40), 255, np.int32),  # all-ignore: hist contributes 0
+        fn="img_3",
+    ))
+    loader = Loader(_ListDataset(items), batch_size=4)
+    ev = Evaluator(model, variables, cfg)
+
+    grouped = list(ev._true_extent_batches(list(loader)))
+    by_nb = {g["nb"]: g for g in grouped}
+    assert by_nb[3]["rgb"].shape[0] == 4, "group of 3 pads to the 4-bucket"
+    assert np.all(np.asarray(by_nb[3]["gt"])[3] == 255), \
+        "gt pad must be the ignore label"
+
+    seen = []
+    m = ev.evaluate(list(loader),
+                    save_hook=lambda preds, b: seen.append(
+                        (preds.shape[0], list(b["fn"]))))
+    np.testing.assert_array_equal(np.asarray(m.hist), hist)
+    assert sorted(n for n, _ in seen) == [1, 3], \
+        "hooks see true counts, not bucket sizes"
+
+
+def test_executable_reuse_across_group_sizes_and_batches():
+    """Same-geometry groups of different sizes must share executables via the
+    pow2 bucket (VERDICT r3: compile count was unbounded in group size), and
+    a second pass over the val set must compile NOTHING new."""
+    cfg, model, variables = _setup()
+    rng = np.random.RandomState(4)
+
+    def mk(n, h, w):
+        return [dict(rgb=rng.rand(h, w, 3).astype(np.float32),
+                     modal_x=rng.rand(h, w, 3).astype(np.float32),
+                     gt=rng.randint(0, 5, (h, w)).astype(np.int32))
+                for _ in range(n)]
+
+    # batch 1: groups of 3 and 1; batch 2: groups of 4 and 4 — same two
+    # geometries throughout, group sizes {3,4}->bucket 4 and {1}->bucket 1
+    b1 = list(Loader(_ListDataset(mk(3, 32, 48) + mk(1, 24, 40)),
+                     batch_size=4))
+    b2 = list(Loader(_ListDataset(mk(4, 32, 48) + mk(4, 24, 40)),
+                     batch_size=8))
+
+    ev = Evaluator(model, variables, cfg)
+    scales, flip = [0.75, 1.0], True
+
+    def n_exec():
+        # real executable count: _jitted keys don't include batch size, the
+        # per-shape signatures live inside each jit's cache
+        return sum(f._cache_size() for f in ev._jitted.values())
+
+    ev.evaluate_msf(b1, scales=scales, flip=flip)
+    n1 = n_exec()
+    ev.evaluate_msf(b2, scales=scales, flip=flip)
+    n2 = n_exec()
+    # bound: geometries(2) x buckets(<=2) x (scales x flip)(4) + hist per
+    # (geometry, bucket)(<=4); the 32x48@bucket4 programs from b1 (group of
+    # 3 -> bucket 4) must be REUSED verbatim by b2's groups of 4
+    progs = len(scales) * 2
+    assert n2 <= 2 * 2 * progs + 4, f"compile count {n2} unbounded"
+    assert n2 - n1 <= progs + 1, \
+        "b2 may add only the one new (24x40, bucket-4) geometry's programs"
+    ev.evaluate_msf(b2, scales=scales, flip=flip)
+    assert n_exec() == n2, "second pass must compile nothing"
+
+
 def test_true_extent_save_hook_gets_cropped_preds():
     """save_hook must see true-extent predictions and the matching subset of
     per-sample metadata (fn) for each geometry group."""

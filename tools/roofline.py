@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Roofline arithmetic for the jitted train step (VERDICT r3 #4).
+
+Prints XLA's own cost analysis of the compiled DFormer-L bs8 train step
+(FLOPs + HBM bytes accessed) against the v5e peaks (197 bf16 TFLOP/s,
+819 GB/s HBM) and the measured device-plane step time, closing the
+"headroom or bound?" question with arithmetic instead of per-op assertion:
+
+    compute floor = flops / 197e12
+    memory  floor = bytes / 819e9
+    roofline floor = max(compute, memory)   vs  measured step
+
+Usage: python tools/roofline.py [batch] [config]
+"""
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBS = 819.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from dformer_tpu.config import load_config
+    from dformer_tpu.models import build_model
+    from dformer_tpu.train.loop import TrainState, make_train_step
+    from dformer_tpu.train.optim import make_optimizer
+    from dformer_tpu.utils.profiling import device_time_ms
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    config = sys.argv[2] if len(sys.argv) > 2 else \
+        "local_configs.NYUDepthv2.DFormer_Large"
+    cfg = load_config(config)
+    H, W = cfg.image_height, cfg.image_width
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    z = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, z)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState(step=jnp.asarray(0), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, cfg)
+
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(batch, H, W, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randint(0, cfg.num_classes,
+                                 (batch, H, W)).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+
+    # make_train_step already returns a jit (donate_argnums=(0,)); lower it
+    # directly so the cost analysis sees the exact production executable
+    lowered = step.lower(state, rgb, gt, rgb, key)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    # NOTE: XLA counts bf16 MXU flops at face value; "bytes accessed"
+    # includes operand re-reads between fused computations (HBM traffic
+    # proxy, not exact DMA bytes). Pallas custom-call internals are opaque
+    # to the analysis: their flops/bytes enter only via the call operands,
+    # so the true totals are slightly HIGHER than reported — making the
+    # printed floors conservative lower bounds, which is the safe direction
+    # for a stopping argument.
+
+    state, loss = step(state, rgb, gt, rgb, key)  # compile/warm
+    jax.block_until_ready(loss)
+    reps = 10
+    logdir = tempfile.mkdtemp(prefix="roofline_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(reps):
+        state, loss = step(state, rgb, gt, rgb, key)
+    jax.block_until_ready(loss)
+    jax.profiler.stop_trace()
+    dev = device_time_ms(logdir)
+    step_ms = dev / reps if dev else float("nan")
+
+    comp_ms = flops / (V5E_BF16_TFLOPS * 1e12) * 1e3
+    mem_ms = bytes_acc / (V5E_HBM_GBS * 1e9) * 1e3
+    floor = max(comp_ms, mem_ms)
+    print(f"config {config} bs={batch} {H}x{W} train step")
+    print(f"XLA cost analysis: {flops / 1e12:.2f} TFLOP, "
+          f"{bytes_acc / 1e9:.2f} GB accessed")
+    print(f"compute floor {comp_ms:.1f} ms @ {V5E_BF16_TFLOPS} TFLOP/s | "
+          f"memory floor {mem_ms:.1f} ms @ {V5E_HBM_GBS} GB/s")
+    print(f"roofline floor {floor:.1f} ms ({'compute' if comp_ms > mem_ms else 'memory'}-bound)"
+          f" | measured {step_ms:.1f} ms -> {100 * floor / step_ms:.0f}% of roofline")
+    print(f"effective {flops / (step_ms / 1e3) / 1e12:.1f} TFLOP/s, "
+          f"{bytes_acc / (step_ms / 1e3) / 1e9:.0f} GB/s")
+
+
+if __name__ == "__main__":
+    main()
