@@ -185,17 +185,19 @@ class Evaluator:
                                         self.num_classes, self.background)
                 return probs, hist
         elif kind == "scale":
+            # ONE program per (new_hw, out_hw): the flip pass reuses it by
+            # flipping input/output OUTSIDE (evaluate_msf). Horizontal flip
+            # commutes bit-exactly with align_corners=True bilinear resize
+            # (mirrored sample positions give the same two taps with the
+            # same weights), so this halves the expensive per-scale
+            # compiles vs a baked-in flip=True twin — on the tunneled
+            # backend each such compile costs minutes (round-5 measurement).
             new_hw = static["new_hw"]
-            flip = static["flip"]
 
             def fn(rgb, modal, out_hw=static["out_hw"]):
                 r = resize_bilinear(rgb, new_hw, align_corners=True)
                 m = resize_bilinear(modal, new_hw, align_corners=True)
-                if flip:
-                    r, m = r[:, :, ::-1], m[:, :, ::-1]
                 logits = self._model_logits(r, m)
-                if flip:
-                    logits = logits[:, :, ::-1]
                 logits = resize_bilinear(logits, out_hw, align_corners=True)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         elif kind == "hist":
@@ -227,47 +229,87 @@ class Evaluator:
         Compile-count bound (batch bucketing): a group's SIZE is also part of
         the compiled shape, so ragged grouping would compile each (geometry,
         group-size) pair separately — operationally unbounded on SUNRGBD
-        (VERDICT r3). Groups are therefore padded along the BATCH dim to the
-        next power of two (repeating the last sample; gt pad = ignore label so
-        the histogram is exact). Batch-dim padding is numerically safe —
-        convolutions never mix samples, unlike the spatial canvas padding
-        above. Executables are bounded by
-        #geometries x (log2(max group)+1) x programs-per-geometry, and
+        (VERDICT r3). Two mechanisms bound it:
+
+        * CROSS-BATCH accumulation (round 5): same-geometry samples are
+          pooled across the whole val stream and flushed in full groups of
+          `bucket_cap` (default: the largest incoming batch size), so the
+          steady state of a long mixed val set (SUNRGBD: 5,050 images,
+          reference SUNRGBD.py:22-23) runs ONE (geometry, cap) shape per
+          geometry — the reference sidesteps this with bs=1 per GPU
+          (utils/train.py:135-163) at an 8x dispatch cost.
+        * The per-geometry TAILS (and any group when the stream ends before
+          a cap fills) are padded along the BATCH dim to the next power of
+          two (repeating the last sample; gt pad = ignore label so the
+          histogram is exact). Batch-dim padding is numerically safe —
+          convolutions never mix samples, unlike the spatial canvas padding
+          above.
+
+        Executables are bounded by #geometries x (1 cap shape +
+        log2(cap) one-time tail shapes) x programs-per-geometry, and
         same-geometry samples across the val set provably reuse one
         executable (tests/test_variable_size_eval.py). The true sample count
         travels as batch["nb"] so save hooks / metrics slice off the pads.
+        Pending samples are cropped to their true extent on arrival, so the
+        pool holds < #geometries x cap true-size images.
         """
+        cap = getattr(self, "bucket_cap", None)
+        pending = {}  # (h, w) -> list of per-sample dicts
+
+        def emit(geom, items, bucket):
+            nb = len(items)
+            pad = bucket - nb
+            sub = {"nb": nb}
+            for k in items[0]:
+                vals = [it[k] for it in items]
+                v0 = vals[0]
+                if isinstance(v0, np.ndarray) and v0.ndim >= 2:
+                    if pad:
+                        fill = (np.full_like(v0, self.background)
+                                if k == "gt" else vals[-1])
+                        vals = vals + [fill] * pad
+                    sub[k] = np.stack(vals)
+                elif isinstance(v0, np.ndarray):
+                    # per-sample 1-D metadata rows (ADVICE r4): stacked
+                    # unpadded, consumers index by [:nb]
+                    sub[k] = np.stack(vals)
+                else:
+                    sub[k] = vals  # per-sample scalars/strings (e.g. fn)
+            return sub
+
         for batch in batches:
             hw = batch.get("hw")
             if hw is None:
                 yield batch
                 continue
             hw = np.asarray(hw)
-            groups = {}
+            if cap is None or len(hw) > cap:
+                cap = len(hw)
             for i, (h, w) in enumerate(hw):
-                groups.setdefault((int(h), int(w)), []).append(i)
-            for (h, w), idxs in groups.items():
-                nb = len(idxs)
-                bucket = 1 << (nb - 1).bit_length()  # next pow2 >= nb
-                pad = bucket - nb
-                sub = {"nb": nb}
+                h, w = int(h), int(w)
+                item = {}
                 for k, v in batch.items():
                     if k == "hw":
                         continue
                     if hasattr(v, "ndim") and v.ndim >= 3:
-                        crops = [v[i, :h, :w] for i in idxs]
-                        if pad:
-                            fill = (np.full_like(np.asarray(crops[-1]),
-                                                 self.background)
-                                    if k == "gt" else crops[-1])
-                            crops = crops + [fill] * pad
-                        sub[k] = jnp.stack(crops) if isinstance(
-                            v, jnp.ndarray) else np.stack(crops)
+                        item[k] = np.asarray(v[i, :h, :w])
                     elif isinstance(v, (list, tuple)):
-                        sub[k] = [v[i] for i in idxs]
+                        item[k] = v[i]
+                    elif hasattr(v, "ndim") and v.ndim >= 1 \
+                            and v.shape[0] == len(hw):
+                        item[k] = np.asarray(v[i])
                     else:
-                        sub[k] = v
-                yield sub
+                        # batch-level scalar: replicate per sample so a
+                        # cross-batch group can't silently mix values
+                        item[k] = v
+                pend = pending.setdefault((h, w), [])
+                pend.append(item)
+                if len(pend) >= cap:
+                    yield emit((h, w), pend[:cap], cap)
+                    del pend[:cap]
+        for geom, pend in pending.items():
+            if pend:  # pow2 tail
+                yield emit(geom, pend, 1 << (len(pend) - 1).bit_length())
 
     def evaluate(self, batches, save_hook: Optional[Callable] = None) -> Metrics:
         """Single-scale eval (reference evaluate, val_mm.py:102-207)."""
@@ -297,14 +339,14 @@ class Evaluator:
             H, W = gt.shape[1:3] if gt.ndim == 3 else gt.shape[:2]
             acc = jnp.zeros(rgb.shape[:1] + (H, W, self.num_classes),
                             jnp.float32)
+            if flip:  # once per group; reused by every scale's flip pass
+                rgb_f, modal_f = rgb[:, :, ::-1], modal[:, :, ::-1]
             for scale in scales:
                 new_hw = (ceil32(int(scale * H)), ceil32(int(scale * W)))
-                acc = acc + self._get_jit("scale", new_hw=new_hw, flip=False,
-                                          out_hw=(H, W))(rgb, modal)
+                fn = self._get_jit("scale", new_hw=new_hw, out_hw=(H, W))
+                acc = acc + fn(rgb, modal)
                 if flip:
-                    acc = acc + self._get_jit("scale", new_hw=new_hw,
-                                              flip=True,
-                                              out_hw=(H, W))(rgb, modal)
+                    acc = acc + fn(rgb_f, modal_f)[:, :, ::-1]
             metrics.update_hist(np.asarray(hist_fn(acc, gt)))
             if save_hook is not None:
                 save_hook(np.asarray(jnp.argmax(acc, -1))[:nb], batch)

@@ -37,13 +37,11 @@ def main():
                     help="print the per-op device breakdown of the trace")
     args = ap.parse_args()
 
+    from dformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -84,9 +82,12 @@ def main():
 
     t0 = time.perf_counter()
     run([mk_batch()])  # compile all programs
+    try:  # _cache_size is a private jax API; fall back to the jit-fn count
+        n_exec = sum(f._cache_size() for f in ev._jitted.values())
+    except AttributeError:
+        n_exec = len(ev._jitted)
     print(f"compile+first batch: {time.perf_counter() - t0:.1f}s "
-          f"({sum(f._cache_size() for f in ev._jitted.values())} executables)",
-          flush=True)
+          f"({n_exec} executables)", flush=True)
 
     batches = [mk_batch() for _ in range(args.nbatches)]
     logdir = tempfile.mkdtemp(prefix="eval_bench_")
