@@ -88,8 +88,22 @@ def main():
 
     enable_compile_cache()  # before backend init
 
+    import signal
+
     import jax
     import jax.numpy as jnp
+
+    # Pre-headline watchdog: if the backend stalls mid-measurement (observed:
+    # remote RPCs hanging for 10+ minutes), exit 0 with a diagnostic comment
+    # before the driver's timeout turns the run into rc=124/parsed:null.
+    def _prehead_bail(*_):
+        print(f"# bench stalled before headline at "
+              f"{time.perf_counter() - T0:.0f}s (backend RPC hang)",
+              flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _prehead_bail)
+    signal.alarm(max(int(BUDGET_S - 20), 30))
 
     _wait_for_backend()
     _mark("backend up")
@@ -116,14 +130,22 @@ def main():
     rgb = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
     modal = jnp.asarray(rng.rand(batch, 480, 640, 3).astype(np.float32))
 
-    jax.block_until_ready(forward(variables, rgb, modal))  # compile
-    _mark("forward compiled")
+    from dformer_tpu.utils.profiling import start_device_trace
+
+    out = forward(variables, rgb, modal)  # compile
+    _mark("forward compiled (async)")
     for _ in range(3):
-        jax.block_until_ready(forward(variables, rgb, modal))
+        out = forward(variables, rgb, modal)
+    # block_until_ready can return before queued work completes on this
+    # runtime; fetching a device-reduced scalar cannot — this pins the
+    # compile+warmups OUTSIDE the traced window (else stray executions land
+    # in the trace and deflate the reported throughput)
+    float(jnp.sum(out))
+    _mark("warmups drained")
 
     logdir = tempfile.mkdtemp(prefix="bench_xplane_")
     t0 = time.perf_counter()
-    jax.profiler.start_trace(logdir)
+    start_device_trace(logdir)
     for _ in range(reps):
         out = forward(variables, rgb, modal)
     jax.block_until_ready(out)
@@ -132,13 +154,15 @@ def main():
     _mark("timed loop done")
 
     try:
-        from dformer_tpu.utils.profiling import device_time_ms
+        from dformer_tpu.utils.profiling import device_durations_ms
 
-        dev_ms = device_time_ms(logdir)
+        durs = device_durations_ms(logdir, prefix="jit_forward")
     except Exception:
-        dev_ms = None
+        durs = []
     _mark("xplane parsed")
-    per_iter_ms = (dev_ms / reps) if dev_ms else (wall_ms / reps)
+    # median over traced invocations: immune to stray queued executions
+    # landing inside the trace window and to event-count mismatches
+    per_iter_ms = float(np.median(durs)) if durs else (wall_ms / reps)
     ips = batch / (per_iter_ms / 1000.0)
 
     baseline_a100_ips = 60.0  # calibrated for DFormer-Large (BENCH_NOTES.md)
@@ -153,15 +177,11 @@ def main():
     # THE headline — out the door before any train-step work can sink it.
     print(json.dumps(record), flush=True)
 
-    # From here on rc=0 is guaranteed: a SIGALRM hard-exit fires just
-    # before the budget so a slow/hung train-extras phase can never turn
-    # into the driver's timeout kill (rc=124). The headline is already out.
-    import signal
-
+    # From here on rc=0 stays guaranteed but silently: re-arm the alarm so
+    # a slow/hung train-extras phase exits clean with the headline as tail.
+    signal.signal(signal.SIGALRM, lambda *_: os._exit(0))
     remaining = BUDGET_S - (time.perf_counter() - T0) - 15.0
-    if remaining > 1:
-        signal.signal(signal.SIGALRM, lambda *_: os._exit(0))
-        signal.alarm(int(remaining))
+    signal.alarm(max(int(remaining), 1))
 
     # -- optional train-step throughput on the same config (driver-visible
     # version of tools/train_bench.py): full jitted fwd+bwd+AdamW step.
@@ -197,18 +217,20 @@ def main():
                          .astype(np.int32))
         key = jax.random.PRNGKey(0)
         state, loss = step(state, rgb, gt, modal, key)  # compile
-        jax.block_until_ready(loss)
+        float(loss)  # true queue drain (scalar fetch; see headline loop)
+        _mark("train step compiled+drained")
         tdir = tempfile.mkdtemp(prefix="bench_train_")
-        jax.profiler.start_trace(tdir)
+        start_device_trace(tdir)
         for _ in range(reps):
             state, loss = step(state, rgb, gt, modal, key)
         jax.block_until_ready(loss)
         jax.profiler.stop_trace()
-        tdev = device_time_ms(tdir)
-        if tdev:
-            record["train_step_ms_bs8"] = round(tdev / reps, 1)
+        tdurs = device_durations_ms(tdir, prefix="jit_step_fn")
+        if tdurs:
+            step_ms = float(np.median(tdurs))
+            record["train_step_ms_bs8"] = round(step_ms, 1)
             record["train_imgs_per_sec_per_chip"] = round(
-                batch / (tdev / reps / 1000.0), 2)
+                batch / (step_ms / 1000.0), 2)
             print(json.dumps(record), flush=True)  # augmented tail
     except Exception as e:  # train extras must never sink the headline
         print(f"# train-step bench skipped: {e!r}", flush=True)

@@ -50,9 +50,40 @@ def device_time_ms(logdir: str, prefix: str = "jit_"):
     return sum(device_durations_ms(logdir, prefix)) or None
 
 
+def device_trace_options():
+    """Slim ProfileOptions for timing harnesses: device-plane events only.
+
+    The default trace embeds the executed modules' full HLO proto
+    (enable_hlo_proto=True — 112 MB for the DFormer-L train step) plus host
+    and python tracer lines; on this tunneled runtime stop_trace streams all
+    of it through the relay at ~MB/s, turning a 1 s timed loop into minutes
+    (round-5 bench postmortem). device_time_ms only reads device-plane event
+    durations, which survive all three knobs. None on older jax."""
+    try:
+        o = jax.profiler.ProfileOptions()
+        o.enable_hlo_proto = False
+        o.host_tracer_level = 0
+        o.python_tracer_level = 0
+        return o
+    except Exception:
+        return None
+
+
+def start_device_trace(logdir: str):
+    """start_trace with the slim options (fallback: default options)."""
+    opts = device_trace_options()
+    try:
+        jax.profiler.start_trace(logdir, profiler_options=opts)
+    except TypeError:  # older jax: no profiler_options kwarg
+        jax.profiler.start_trace(logdir)
+
+
 @contextlib.contextmanager
-def trace(logdir: str):
-    jax.profiler.start_trace(logdir)
+def trace(logdir: str, slim: bool = True):
+    if slim:
+        start_device_trace(logdir)
+    else:
+        jax.profiler.start_trace(logdir)
     try:
         yield
     finally:

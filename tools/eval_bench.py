@@ -48,7 +48,8 @@ def main():
     from dformer_tpu.config import load_config
     from dformer_tpu.eval.evaluate import Evaluator
     from dformer_tpu.models import build_model
-    from dformer_tpu.utils.profiling import device_time_ms
+    from dformer_tpu.utils.profiling import (device_time_ms,
+                                               start_device_trace)
 
     cfg = load_config(args.config)
     model = build_model(cfg, dtype=jnp.bfloat16)
@@ -92,7 +93,7 @@ def main():
     batches = [mk_batch() for _ in range(args.nbatches)]
     logdir = tempfile.mkdtemp(prefix="eval_bench_")
     t0 = time.perf_counter()
-    jax.profiler.start_trace(logdir)
+    start_device_trace(logdir)
     run(batches)
     jax.profiler.stop_trace()
     wall = time.perf_counter() - t0

@@ -97,7 +97,8 @@ def main():
     from dformer_tpu.parallel.mesh import make_mesh
     from dformer_tpu.train.loop import TrainState, make_train_step
     from dformer_tpu.train.optim import make_optimizer
-    from dformer_tpu.utils.profiling import device_time_ms
+    from dformer_tpu.utils.profiling import (device_time_ms,
+                                               start_device_trace)
 
     mesh = make_mesh()
     model = build_model(cfg, dtype=jnp.bfloat16)
@@ -125,7 +126,7 @@ def main():
         it = 0
         t0 = time.perf_counter()
         if profile_dir:
-            jax.profiler.start_trace(profile_dir)
+            start_device_trace(profile_dir)
         nonlocal state
         loss = None
         for batch in loader:

@@ -37,7 +37,8 @@ def main():
     from dformer_tpu.models import build_model
     from dformer_tpu.train.loop import TrainState, make_train_step
     from dformer_tpu.train.optim import make_optimizer
-    from dformer_tpu.utils.profiling import device_time_ms
+    from dformer_tpu.utils.profiling import (device_time_ms,
+                                               start_device_trace)
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     config = sys.argv[2] if len(sys.argv) > 2 else \
@@ -82,7 +83,7 @@ def main():
     jax.block_until_ready(loss)
     reps = 10
     logdir = tempfile.mkdtemp(prefix="roofline_")
-    jax.profiler.start_trace(logdir)
+    start_device_trace(logdir)
     for _ in range(reps):
         state, loss = compiled(state, rgb, gt, rgb, key)
     jax.block_until_ready(loss)

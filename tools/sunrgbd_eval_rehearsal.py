@@ -93,7 +93,8 @@ def main():
     from dformer_tpu.config import load_config
     from dformer_tpu.eval.evaluate import Evaluator
     from dformer_tpu.models import build_model
-    from dformer_tpu.utils.profiling import device_time_ms
+    from dformer_tpu.utils.profiling import (device_time_ms,
+                                               start_device_trace)
 
     cfg = load_config(args.config)
     model = build_model(cfg, dtype=jnp.bfloat16)
@@ -113,16 +114,17 @@ def main():
         true_px += nb * h * w
         fwd_px += bs * h * w
     n_geom = len({(h, w) for h, w, _ in groups})
-    n_prog_per_shape = len(args.scales) * (1 if args.no_flip else 2)
+    # flip reuses the unflipped program (evaluate.py round-5), so programs
+    # per (geom,bucket) shape = #scales regardless of flip
     print(f"{args.config}: {args.images} imgs, loader bs={args.batch}, "
           f"{n_geom} geometries, {len(groups)} (geom,bucket) shapes x "
-          f"{n_prog_per_shape} scale programs; pad overhead "
+          f"{len(args.scales)} scale programs; pad overhead "
           f"{100 * (fwd_px / true_px - 1):.1f}% of forwarded pixels", flush=True)
 
     def run():
         t0 = time.perf_counter()
         logdir = tempfile.mkdtemp(prefix="sunrgbd_rehearsal_")
-        jax.profiler.start_trace(logdir)
+        start_device_trace(logdir)
         m = ev.evaluate_msf(batches, scales=args.scales,
                             flip=not args.no_flip)
         jax.profiler.stop_trace()
