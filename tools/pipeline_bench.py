@@ -121,46 +121,83 @@ def main():
                           else cfg.norm_std, jnp.float32),
     )
 
-    def run_epoch(loader, epoch, profile_dir=None):
+    def run_epoch(loader, epoch, profile_dir=None, prefetch=False):
+        """Per-phase host timers localize any e2e gap: 'loader' = blocked on
+        the decode queue, 'put' = jnp.asarray transfers, 'aug'/'step' = jit
+        dispatch (should be ~0 if dispatch is async on this runtime)."""
         loader.set_epoch(epoch)
         it = 0
+        ph = dict(loader=0.0, put=0.0, aug=0.0, step=0.0)
         t0 = time.perf_counter()
         if profile_dir:
             start_device_trace(profile_dir)
         nonlocal state
         loss = None
-        for batch in loader:
-            arrs = {k: jnp.asarray(batch[k]) for k in ("rgb", "gt", "modal_x")}
+
+        def put(batch):
+            return {k: jnp.asarray(batch[k]) for k in ("rgb", "gt", "modal_x")}
+
+        if prefetch:
+            from dformer_tpu.data.prefetch import device_prefetch
+
+            stream = iter(device_prefetch(loader, put, depth=2))
+        else:
+            stream = iter(loader)
+        while True:
+            t = time.perf_counter()
+            got = next(stream, None)
+            if got is None:
+                break
+            ph["loader"] += time.perf_counter() - t
+            t = time.perf_counter()
+            arrs = got if prefetch else put(got)
+            ph["put"] += time.perf_counter() - t
+            t = time.perf_counter()
             k2 = jax.random.fold_in(key, epoch * 100003 + it)
             rgb, gt, modal = device_train_augment(
                 arrs["rgb"], arrs["gt"], arrs["modal_x"], k2, (H, W),
                 tuple(cfg.train_scale_array), norm["mean"], norm["std"],
                 norm["x_mean"], norm["x_std"])
+            ph["aug"] += time.perf_counter() - t
+            t = time.perf_counter()
             state, loss = step(state, rgb, gt, modal, key)
+            ph["step"] += time.perf_counter() - t
             it += 1
         jax.block_until_ready(loss)
         if profile_dir:
             jax.profiler.stop_trace()
-        return time.perf_counter() - t0, it
+        wall = time.perf_counter() - t0
+        drain = wall - sum(ph.values())
+        print(f"    host phases: loader {ph['loader']:.1f}s, put "
+              f"{ph['put']:.1f}s, aug-dispatch {ph['aug']:.1f}s, "
+              f"step-dispatch {ph['step']:.1f}s, final-drain {drain:.1f}s",
+              flush=True)
+        return wall, it
 
+    first = True
     for name, mk in (("thread", lambda: train_batches(cfg)),
                      ("native", lambda: train_batches(cfg, native=True))):
         if name == "native" and not native_loader.available():
             continue
         loader = mk()
-        print(f"[{name}] epoch 1 (compile) ...", flush=True)
-        run_epoch(loader, 1)
+        if first:
+            print(f"[{name}] epoch 1 (compile) ...", flush=True)
+            run_epoch(loader, 1)
+            first = False
         import tempfile
 
-        logdir = tempfile.mkdtemp(prefix="pipe_bench_")
-        wall, iters = run_epoch(loader, 2, profile_dir=logdir)
-        dev_ms = device_time_ms(logdir)
-        imgs = iters * args.batch
-        dev_s = dev_ms / 1000.0 if dev_ms else float("nan")
-        print(f"[{name}] e2e epoch: {imgs} imgs in {wall:.1f}s = "
-              f"{imgs / wall:.1f} img/s  (device busy {dev_s:.1f}s = "
-              f"{100 * dev_s / wall:.0f}% overlap; device-rate ceiling "
-              f"{imgs / dev_s:.1f} img/s)")
+        for pf in (False, True):
+            logdir = tempfile.mkdtemp(prefix="pipe_bench_")
+            wall, iters = run_epoch(loader, 2 + pf, profile_dir=logdir,
+                                    prefetch=pf)
+            dev_ms = device_time_ms(logdir)
+            imgs = iters * args.batch
+            dev_s = dev_ms / 1000.0 if dev_ms else float("nan")
+            print(f"[{name}{'+prefetch' if pf else ''}] e2e epoch: "
+                  f"{imgs} imgs in {wall:.1f}s = "
+                  f"{imgs / wall:.1f} img/s  (device busy {dev_s:.1f}s = "
+                  f"{100 * dev_s / wall:.0f}% overlap; device-rate ceiling "
+                  f"{imgs / dev_s:.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":

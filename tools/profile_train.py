@@ -50,8 +50,11 @@ def main():
         state, loss = step(state, rgb, gt, rgb, key)
     jax.block_until_ready(loss)
 
+    from dformer_tpu.utils.profiling import start_device_trace
+
     logdir = tempfile.mkdtemp(prefix="trainprof_")
-    jax.profiler.start_trace(logdir)
+    start_device_trace(logdir)  # slim: per-op device events survive, the
+    # multi-hundred-MB HLO proto download does not (utils/profiling.py)
     for _ in range(reps):
         state, loss = step(state, rgb, gt, rgb, key)
     jax.block_until_ready(loss)
