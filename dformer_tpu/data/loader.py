@@ -98,7 +98,9 @@ class Loader:
             # num_threads items decode concurrently (the reference uses 16
             # DataLoader worker processes, dataloader.py:126-177; a serial
             # per-item loop here fed only ~3 bs8 480x640 batches/s against
-            # the train step's 6.7/s consumption)
+            # the train step's 6.7/s consumption; measured post-fix
+            # 108.6 img/s = 13.6 bs8 batches/s sustained — BENCH_NOTES
+            # 2026-08-19 pipeline_bench loader-only)
             with ThreadPoolExecutor(self.num_threads) as pool:
                 try:
                     for b in batches:

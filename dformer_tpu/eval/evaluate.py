@@ -238,15 +238,20 @@ class Evaluator:
           reference SUNRGBD.py:22-23) runs ONE (geometry, cap) shape per
           geometry — the reference sidesteps this with bs=1 per GPU
           (utils/train.py:135-163) at an 8x dispatch cost.
-        * The per-geometry TAILS (and any group when the stream ends before
-          a cap fills) are padded along the BATCH dim to the next power of
-          two (repeating the last sample; gt pad = ignore label so the
-          histogram is exact). Batch-dim padding is numerically safe —
-          convolutions never mix samples, unlike the spatial canvas padding
-          above.
+        * The per-geometry TAILS: if the geometry already flushed a full
+          `cap` group, the tail pads to `cap` — its programs are already
+          compiled, so the tail costs zero compiles and <= cap-1 wasted
+          forwards ONCE per geometry per val run (on this host one compile
+          is ~minutes; 3 padded forwards are ~0.2s). Only a geometry whose
+          ENTIRE population is < cap (never flushed) pads to the next power
+          of two instead, minimizing the padded-forward waste where a fresh
+          compile is unavoidable anyway. Pads repeat the last sample with
+          gt = ignore label so the histogram is exact. Batch-dim padding is
+          numerically safe — convolutions never mix samples, unlike the
+          spatial canvas padding above.
 
-        Executables are bounded by #geometries x (1 cap shape +
-        log2(cap) one-time tail shapes) x programs-per-geometry, and
+        Executables are bounded by #geometries x programs-per-geometry (+
+        one pow2 tail shape for geometries rarer than cap), and
         same-geometry samples across the val set provably reuse one
         executable (tests/test_variable_size_eval.py). The true sample count
         travels as batch["nb"] so save hooks / metrics slice off the pads.
@@ -255,6 +260,7 @@ class Evaluator:
         """
         cap = getattr(self, "bucket_cap", None)
         pending = {}  # (h, w) -> list of per-sample dicts
+        flushed = set()  # geometries that emitted a full cap group
 
         def emit(geom, items, bucket):
             nb = len(items)
@@ -307,9 +313,12 @@ class Evaluator:
                 if len(pend) >= cap:
                     yield emit((h, w), pend[:cap], cap)
                     del pend[:cap]
+                    flushed.add((h, w))
         for geom, pend in pending.items():
-            if pend:  # pow2 tail
-                yield emit(geom, pend, 1 << (len(pend) - 1).bit_length())
+            if pend:  # tail: reuse the cap programs if they exist (free)
+                bucket = cap if geom in flushed \
+                    else 1 << (len(pend) - 1).bit_length()
+                yield emit(geom, pend, bucket)
 
     def evaluate(self, batches, save_hook: Optional[Callable] = None) -> Metrics:
         """Single-scale eval (reference evaluate, val_mm.py:102-207)."""

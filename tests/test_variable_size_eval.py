@@ -238,6 +238,67 @@ def test_executable_reuse_across_group_sizes_and_batches():
     assert n_exec() == n2, "second pass must compile nothing"
 
 
+def test_tail_of_flushed_geometry_reuses_cap_programs():
+    """Round 5: once a geometry has flushed a full `cap` group, its tail
+    pads to the cap (programs already compiled — zero new executables)
+    instead of a fresh pow2 bucket; an unflushed geometry still pow2-pads.
+    Histogram must equal the per-image oracle either way."""
+    cfg, model, variables = _setup()
+    rng = np.random.RandomState(6)
+
+    def item(h, w):
+        return dict(rgb=rng.rand(h, w, 3).astype(np.float32),
+                    modal_x=rng.rand(h, w, 3).astype(np.float32),
+                    gt=rng.randint(0, 5, (h, w)).astype(np.int32))
+
+    # two mixed canvas batches: A=(32,48) x3 + B=(24,40) x1 each ->
+    # cap=4; A flushes one full group (6 >= 4, tail 2), B never (2 < 4)
+    def canvas_batch(items):
+        H = max(i["rgb"].shape[0] for i in items)
+        W = max(i["rgb"].shape[1] for i in items)
+        b = dict(rgb=np.zeros((len(items), H, W, 3), np.float32),
+                 modal_x=np.zeros((len(items), H, W, 3), np.float32),
+                 gt=np.full((len(items), H, W), 255, np.int32),
+                 hw=np.asarray([[i["rgb"].shape[0], i["rgb"].shape[1]]
+                                for i in items], np.int32))
+        for i, it in enumerate(items):
+            h, w = it["rgb"].shape[:2]
+            b["rgb"][i, :h, :w] = it["rgb"]
+            b["modal_x"][i, :h, :w] = it["modal_x"]
+            b["gt"][i, :h, :w] = it["gt"]
+        return b
+
+    items = [item(32, 48) for _ in range(6)] + [item(24, 40), item(24, 40)]
+    batches = [canvas_batch(items[0:3] + items[6:7]),
+               canvas_batch(items[3:6] + items[7:8])]
+
+    ev = Evaluator(model, variables, cfg)
+    groups = list(ev._true_extent_batches(batches))
+    sizes = sorted((g["gt"].shape[1], g["gt"].shape[0], g["nb"])
+                   for g in groups)
+    assert sizes == [(24, 2, 2), (32, 4, 2), (32, 4, 4)], \
+        "A tail (nb=2) pads to cap 4; unflushed B (nb=2) pow2-pads to 2"
+
+    hist = np.zeros((5, 5), np.int64)
+    for it in items:
+        logits = model.apply(variables, jnp.asarray(it["rgb"][None]),
+                             jnp.asarray(it["modal_x"][None]))
+        pred = np.asarray(jnp.argmax(logits, -1))[0]
+        keep = it["gt"] != 255
+        hist += np.bincount(
+            (it["gt"][keep] * 5 + pred[keep]).astype(np.int64),
+            minlength=25).reshape(5, 5)
+
+    m = ev.evaluate(batches)
+    np.testing.assert_array_equal(np.asarray(m.hist), hist)
+    try:
+        n = sum(f._cache_size() for f in ev._jitted.values())
+    except AttributeError:
+        n = None
+    if n is not None:
+        assert n == 2, f"expected 2 executables (A@4 shared by tail, B@2), got {n}"
+
+
 def test_true_extent_save_hook_gets_cropped_preds():
     """save_hook must see true-extent predictions and the matching subset of
     per-sample metadata (fn) for each geometry group."""

@@ -7,13 +7,17 @@ BN-stat path semantically, without datasets on disk.
 Measured on v5e: 600 steps ≈ 40s, final mIoU ≈ 87 (chance = 25).
 
 --trav: same idea for DFormerTrav-Base (BASELINE config #5): the label's
-low bit is derivable ONLY from the 360-beam lidar scan (per-column beam
-threshold), the high bit only from the RGB field — held-out mIoU >> the
-~33 rgb-only ceiling proves gradients flow through the Attention1Dto2D
-lidar expansion (reference DFormer.py:308-339) and train it to a useful
-signal, not merely to finite values (tests/test_trav_fss.py covers that).
+low bit is derivable ONLY from the 360-beam lidar scan (scan-mean
+threshold — see make_trav_batch for why it must be a value statistic),
+the high bit only from the RGB field — held-out mIoU >> the ~33
+low-bit-at-chance ceiling proves gradients flow through the
+Attention1Dto2D lidar expansion (reference DFormer.py:308-339) and train
+it to a useful signal, not merely to finite values
+(tests/test_trav_fss.py covers that).
 
-Measured on v5e: --trav --steps 400 ≈ 160s, final mIoU ≈ see README."""
+Measured on v5e: --trav --steps 600 = 89s post-startup (startup — jit
+init + train-step program load over the tunnel — is ~8-9 min); final
+held-out mIoU 96.3, chance 25 (BENCH_NOTES.md 2026-08-19)."""
 
 import argparse
 import os
@@ -41,8 +45,21 @@ def make_batch(rng, B=8, hw=(64, 96), num_classes=4):
 
 
 def make_trav_batch(rng, B=8, hw=(64, 96), beams=360):
-    """Learnable lidar task: gt = 2*(rgb field > .5) + (scan bit at the
-    pixel's column beam). The low bit exists ONLY in the scan."""
+    """Learnable lidar task: gt = 2*(rgb field > .5) + scan_bit, where
+    scan_bit = (mean of the 360-beam scan > 0.5) — a value-statistic the
+    Attention1Dto2D expansion CAN express. The low bit exists ONLY in the
+    scan; samples are resampled to keep |mean - 0.5| >= 0.03 so the
+    threshold bit is crisp.
+
+    Why a global statistic and not a per-column bit: the reference module
+    (and ours, faithfully) embeds each beam by its VALUE only
+    (input_proj(scan[:, b]), reference DFormer.py:315-330) with no
+    positional encoding, so its output is a permutation-invariant
+    functional of the scan's values — beam-INDEXED targets are
+    architecturally unrecoverable. Measured: the per-column-bit variant of
+    this task plateaus at mIoU 42.3 (vs the 33.3 low-bit-at-chance floor;
+    the residue is correlation between the bit and global scan statistics)
+    at both 400 and 1200 steps — BENCH_NOTES 2026-08-19."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,13 +69,21 @@ def make_trav_batch(rng, B=8, hw=(64, 96), beams=360):
                                         (B, hw[0], hw[1], 1), "linear"))
     rgb = np.concatenate([field, 1 - field, 0.5 + 0 * field], -1) \
         + 0.05 * rng.randn(B, hw[0], hw[1], 3).astype(np.float32)
-    # smooth 1-D scan -> per-beam bit; column w reads beam floor(w/W*beams)
-    coarse = rng.rand(B, 1, 12, 1).astype(np.float32)
-    scan = np.asarray(jax.image.resize(jnp.asarray(coarse),
-                                       (B, 1, beams, 1), "linear"))[:, 0, :, 0]
-    beam_of_col = (np.arange(hw[1]) * beams // hw[1])
-    col_bit = (scan[:, beam_of_col] > 0.5).astype(np.int32)  # [B, W]
-    gt = 2 * (field[..., 0] > 0.5).astype(np.int32) + col_bit[:, None, :]
+
+    def expand(c):  # 12 smooth control points -> 360-beam scan
+        return np.array(jax.image.resize(  # np.array: writable copy
+            jnp.asarray(c), (c.shape[0], 1, beams, 1), "linear"))[:, 0, :, 0]
+
+    scan = expand(rng.rand(B, 1, 12, 1).astype(np.float32))
+    for _ in range(50):  # keep the threshold bit away from the boundary
+        bad = np.abs(scan.mean(1) - 0.5) < 0.03
+        if not bad.any():
+            break
+        scan[bad] = expand(rng.rand(int(bad.sum()), 1, 12, 1)
+                           .astype(np.float32))
+    scan_bit = (scan.mean(1) > 0.5).astype(np.int32)  # [B]
+    gt = 2 * (field[..., 0] > 0.5).astype(np.int32) \
+        + scan_bit[:, None, None]
     return (jnp.asarray(rgb.astype(np.float32)), jnp.asarray(gt),
             jnp.asarray(scan.astype(np.float32)))
 
@@ -70,6 +95,10 @@ def main():
     ap.add_argument("--trav", action="store_true",
                     help="DFormerTrav lidar-expansion convergence smoke")
     args = ap.parse_args()
+
+    from dformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -87,7 +116,11 @@ def main():
         cfg = load_config("local_configs.NYUDepthv2.DFormer_Tiny")
     cfg.num_classes = 4
     cfg.image_height, cfg.image_width = 64, 96
-    cfg.nepochs, cfg.niters_per_epoch, cfg.warm_up_epoch = 10, 60, 1
+    # scale the warmup-poly schedule to the requested run length (default
+    # 600 steps = 10x60 unchanged); without this, --steps beyond 600 train
+    # at the decayed-to-zero tail LR and learn nothing further
+    cfg.nepochs, cfg.warm_up_epoch = 10, 1
+    cfg.niters_per_epoch = max(60, args.steps // cfg.nepochs)
     cfg.lr = 3e-4
 
     mk = make_trav_batch if args.trav else make_batch
